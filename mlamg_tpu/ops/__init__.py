@@ -1,0 +1,11 @@
+from mlamg_tpu.ops.sparse import COO, CSR, ELL  # noqa: F401
+from mlamg_tpu.ops import matmul  # noqa: F401
+from mlamg_tpu.ops.matmul import (  # noqa: F401
+    spmv,
+    spmv_t,
+    spmm,
+    spmm_t,
+    spgemm,
+    rap_dense,
+    transpose,
+)

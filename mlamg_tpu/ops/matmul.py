@@ -1,0 +1,222 @@
+"""Sparse matrix products, TPU-first.
+
+- SpMV / SpMM run as masked gather + segment-sum (XLA lowers these to fast
+  one-pass scatter-adds on TPU); the ELL layout additionally offers a purely
+  dense-shaped gather + row-reduction that the Mosaic/XLA pipeline vectorizes
+  onto the VPU with zero dynamism.  A hand-written Pallas SpMV lives in
+  :mod:`mlamg_tpu.ops.pallas_kernels`.
+- SpGEMM uses the expand / sort / coalesce scheme with *static* nnz upper
+  bounds (row-degree products), the TPU answer to dynamic-size symbolic
+  phases of CPU/GPU SpGEMMs.
+- The Galerkin triple product RAP is provided in two forms: a dense-coarse
+  form ``rap_dense`` (two MXU matmuls through a dense (n,k) P — optimal
+  whenever the coarse side fits, which is the reference's entire two-level
+  regime) and a fully sparse ``rap`` built on spgemm.
+
+Capability parity: replaces torch_sparse ``spspmm``/``spmm``/``transpose``
+(reference ns/lib/sparse_tensor.py:9-59) and the scipy products inside
+``amg_2_v`` (reference ns/lib/multigrid.py:165).
+
+All functions are jit-safe and differentiable w.r.t. values.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.ops.sparse import COO, CSR, ELL
+
+
+# ---------------------------------------------------------------------------
+# SpMV / SpMM
+# ---------------------------------------------------------------------------
+
+
+def spmv(A, x: jax.Array) -> jax.Array:
+    """y = A @ x for CSR/COO/ELL A and dense (n,) x."""
+    if isinstance(A, ELL):
+        return jnp.sum(A.data * x[A.col], axis=1)
+    m, _ = A.shape
+    return jax.ops.segment_sum(A.data * x[A.col], A.row, num_segments=m)
+
+
+def spmv_t(A, x: jax.Array) -> jax.Array:
+    """y = A.T @ x without materializing the transpose."""
+    _, n = A.shape
+    if isinstance(A, ELL):
+        m = A.shape[0]
+        contrib = A.data * x[:, None]
+        return jax.ops.segment_sum(
+            contrib.reshape(-1), A.col.reshape(-1), num_segments=n
+        )
+    return jax.ops.segment_sum(A.data * x[A.row], A.col, num_segments=n)
+
+
+def spmm(A, X: jax.Array) -> jax.Array:
+    """Y = A @ X for sparse A (m,n) and dense X (n,k)."""
+    if isinstance(A, ELL):
+        # (m, w, k) gather then row-reduce; dense shapes throughout.
+        return jnp.einsum("mw,mwk->mk", A.data, X[A.col])
+    m, _ = A.shape
+    return jax.ops.segment_sum(A.data[:, None] * X[A.col], A.row, num_segments=m)
+
+
+def spmm_t(A, X: jax.Array) -> jax.Array:
+    """Y = A.T @ X for sparse A (m,n) and dense X (m,k)."""
+    _, n = A.shape
+    if isinstance(A, ELL):
+        m, w = A.data.shape
+        contrib = (A.data[:, :, None] * X[:, None, :]).reshape(m * w, -1)
+        return jax.ops.segment_sum(contrib, A.col.reshape(-1), num_segments=n)
+    return jax.ops.segment_sum(A.data[:, None] * X[A.row], A.col, num_segments=n)
+
+
+# ---------------------------------------------------------------------------
+# Transpose
+# ---------------------------------------------------------------------------
+
+
+def transpose(A: CSR | COO) -> CSR:
+    """A.T as a CSR, via stable (col,row) sort. Jittable; static shapes."""
+    m, n = A.shape
+    # Padding rows carry sentinel m; map their col to sentinel n so they sort
+    # to the tail of the transposed matrix as well.
+    mask = A.row < m
+    t_row = jnp.where(mask, A.col, n)
+    t_col = jnp.where(mask, A.row, 0)
+    flipped = COO(A.data, t_row, t_col, (n, m), A.nnz)
+    return flipped.sort_rows()
+
+
+# ---------------------------------------------------------------------------
+# Coalesce (sum duplicate coordinates)  — shared by SpGEMM
+# ---------------------------------------------------------------------------
+
+
+def coalesce(
+    data: jax.Array,
+    row: jax.Array,
+    col: jax.Array,
+    shape,
+    nnz_out: int,
+) -> CSR:
+    """Sort COO triplets by (row, col), merge duplicates, pad to ``nnz_out``.
+
+    Padding-in: entries with ``row >= shape[0]``.  Static output size; if the
+    true coalesced nnz exceeds ``nnz_out`` the result silently drops the
+    largest coordinates (callers pick sound upper bounds).
+    """
+    m, n = shape
+    mask = row < m
+    # Stable lexicographic (row, col) sort.
+    order_c = jnp.argsort(jnp.where(mask, col, n), stable=True)
+    order_r = jnp.argsort(jnp.where(mask, row, m)[order_c], stable=True)
+    perm = order_c[order_r]
+    r = row[perm]
+    c = col[perm]
+    d = jnp.where(mask[perm], data[perm], 0)
+    rm = r < m
+
+    # Segment ids: a new segment starts wherever (row, col) changes.
+    new_seg = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.int32),
+            ((r[1:] != r[:-1]) | (c[1:] != c[:-1])).astype(jnp.int32),
+        ]
+    )
+    new_seg = jnp.where(rm, new_seg, 0)  # padding contributes no segments
+    seg = jnp.cumsum(new_seg) - 1  # real entries: 0..K-1; leading pads: -1
+    seg = jnp.where(rm, seg, nnz_out)  # out-of-range => dropped by segment ops
+
+    out_data = jax.ops.segment_sum(d, seg, num_segments=nnz_out)
+    # First element of each segment holds the coordinates.
+    first = (new_seg == 1) & rm
+    out_row = jax.ops.segment_sum(
+        jnp.where(first, r, 0), jnp.where(first, seg, nnz_out), num_segments=nnz_out
+    )
+    out_col = jax.ops.segment_sum(
+        jnp.where(first, c, 0), jnp.where(first, seg, nnz_out), num_segments=nnz_out
+    )
+    # Mark unused output slots as padding.
+    k = jnp.max(jnp.where(rm, seg + 1, 0))
+    slot = jnp.arange(nnz_out, dtype=jnp.int32)
+    used = slot < k
+    out_row = jnp.where(used, out_row, m).astype(jnp.int32)
+    out_col = jnp.where(used, out_col, 0).astype(jnp.int32)
+    out_data = jnp.where(used, out_data, 0)
+    indptr = jnp.searchsorted(
+        out_row, jnp.arange(m + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return CSR(out_data, out_row, out_col, indptr, (m, n), nnz_out)
+
+
+# ---------------------------------------------------------------------------
+# SpGEMM
+# ---------------------------------------------------------------------------
+
+
+def spgemm(A: CSR, B: CSR, *, nnz_out: int, b_width: int | None = None) -> CSR:
+    """C = A @ B with a static output capacity ``nnz_out``.
+
+    Expand-sort-coalesce: every A entry (i,k,va) is multiplied against the
+    (padded, fixed-width) k-th row of B, giving ``nnz_pad(A) * width(B)``
+    candidate triplets that are then coalesced.  Fully static, jittable,
+    differentiable.
+
+    ``b_width`` caps B's ELL width (defaults to B's max row degree, computed
+    on host from indptr if available — pass it explicitly under jit).
+    """
+    m, p = A.shape
+    p2, n = B.shape
+    assert p == p2, (A.shape, B.shape)
+    B_ell = B.to_ell(b_width) if not isinstance(B, ELL) else B
+    w = B_ell.width
+
+    # For each A entry, gather the corresponding B row (pad A entries gather
+    # row 0 but are masked via the sentinel row id).
+    bk = jnp.minimum(A.col, p - 1)
+    b_cols = B_ell.col[bk]  # (nnzA, w)
+    b_vals = B_ell.data[bk]  # (nnzA, w)
+    vals = (A.data[:, None] * b_vals).reshape(-1)
+    rows = jnp.broadcast_to(A.row[:, None], b_cols.shape).reshape(-1)
+    cols = b_cols.reshape(-1)
+    # Zero-valued expanded slots (B padding) must not create pattern entries:
+    # push them to the sentinel row.
+    live = (b_vals != 0).reshape(-1)
+    rows = jnp.where(live, rows, m)
+    return coalesce(vals, rows, cols, (m, n), nnz_out)
+
+
+# ---------------------------------------------------------------------------
+# Galerkin products
+# ---------------------------------------------------------------------------
+
+
+def rap_dense(A, P) -> jax.Array:
+    """Dense coarse Galerkin operator A_H = P.T @ A @ P, shape (k, k).
+
+    ``P`` may be a dense (n, k) array or any sparse container.  The (n, k)
+    intermediate AP is dense, so both contractions hit the MXU.  This is the
+    TPU-native realization of the reference's scipy ``P.T@A@P``
+    (ns/lib/multigrid.py:165) for the two-level regime where k = alpha*n is
+    small enough to keep dense.
+    """
+    if isinstance(P, (CSR, COO, ELL)):
+        P = densify(P)
+    AP = spmm(A, P) if isinstance(A, (CSR, COO, ELL)) else A @ P
+    return P.T @ AP
+
+
+def rap(A: CSR, P: CSR, *, nnz_ap: int, nnz_out: int, a_width: int, p_width: int) -> CSR:
+    """Sparse Galerkin triple product via two SpGEMMs (multilevel path)."""
+    AP = spgemm(A, P, nnz_out=nnz_ap, b_width=p_width)
+    Pt = transpose(P)
+    return spgemm(Pt, AP, nnz_out=nnz_out, b_width=min(nnz_ap, a_width * p_width))
+
+
+def densify(P) -> jax.Array:
+    """Dense view of any container (small operators only)."""
+    return P.todense()
