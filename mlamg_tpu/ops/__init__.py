@@ -6,6 +6,7 @@ from mlamg_tpu.ops.matmul import (  # noqa: F401
     spmm,
     spmm_t,
     spgemm,
+    spgemm_masked,
     rap_dense,
     transpose,
 )

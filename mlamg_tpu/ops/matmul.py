@@ -36,7 +36,9 @@ from mlamg_tpu.ops.sparse import COO, CSR, ELL
 
 
 def spmv(A, x: jax.Array) -> jax.Array:
-    """y = A @ x for CSR/COO/ELL A and dense (n,) x."""
+    """y = A @ x for CSR/COO/ELL (or dense) A and dense (n,) x."""
+    if isinstance(A, jax.Array):
+        return A @ x
     if isinstance(A, ELL):
         return jnp.sum(A.data * x[A.col], axis=1)
     m, _ = A.shape
@@ -45,6 +47,8 @@ def spmv(A, x: jax.Array) -> jax.Array:
 
 def spmv_t(A, x: jax.Array) -> jax.Array:
     """y = A.T @ x without materializing the transpose."""
+    if isinstance(A, jax.Array):
+        return A.T @ x
     _, n = A.shape
     if isinstance(A, ELL):
         m = A.shape[0]
@@ -56,7 +60,9 @@ def spmv_t(A, x: jax.Array) -> jax.Array:
 
 
 def spmm(A, X: jax.Array) -> jax.Array:
-    """Y = A @ X for sparse A (m,n) and dense X (n,k)."""
+    """Y = A @ X for sparse (or dense) A (m,n) and dense X (n,k)."""
+    if isinstance(A, jax.Array):
+        return A @ X
     if isinstance(A, ELL):
         # (m, w, k) gather then row-reduce; dense shapes throughout.
         return jnp.einsum("mw,mwk->mk", A.data, X[A.col])
@@ -66,6 +72,8 @@ def spmm(A, X: jax.Array) -> jax.Array:
 
 def spmm_t(A, X: jax.Array) -> jax.Array:
     """Y = A.T @ X for sparse A (m,n) and dense X (m,k)."""
+    if isinstance(A, jax.Array):
+        return A.T @ X
     _, n = A.shape
     if isinstance(A, ELL):
         m, w = A.data.shape
@@ -188,6 +196,32 @@ def spgemm(A: CSR, B: CSR, *, nnz_out: int, b_width: int | None = None) -> CSR:
     live = (b_vals != 0).reshape(-1)
     rows = jnp.where(live, rows, m)
     return coalesce(vals, rows, cols, (m, n), nnz_out)
+
+
+def spgemm_masked(A: CSR, B: CSR, pattern: CSR, *, a_width: int, b_width: int) -> CSR:
+    """(A @ B) restricted to the sparsity pattern of ``pattern``.
+
+    For every pattern entry (i, j): sum_k A[i,k] * B[k,j], computed by
+    comparing A's fixed-width row i against B's fixed-width rows — an
+    O(nnz * a_width * b_width) dense-shaped contraction with no sorting.
+    This is the static-shape workhorse behind pattern-preserving matrix
+    powers (evolution strength of connection, filtered smoothers).
+    """
+    m, p = A.shape
+    A_ell = A.to_ell(a_width) if not isinstance(A, ELL) else A
+    B_ell = B.to_ell(b_width) if not isinstance(B, ELL) else B
+
+    i = jnp.minimum(pattern.row, m - 1)  # (E,)
+    j = pattern.col  # (E,)
+    a_cols = A_ell.col[i]  # (E, wa) — the k's
+    a_vals = A_ell.data[i]  # (E, wa)
+    b_cols = B_ell.col[a_cols]  # (E, wa, wb)
+    b_vals = B_ell.data[a_cols]  # (E, wa, wb)
+    match = b_cols == j[:, None, None]
+    contrib = a_vals[:, :, None] * jnp.where(match, b_vals, 0.0)
+    vals = jnp.sum(contrib, axis=(1, 2))
+    vals = jnp.where(pattern.mask, vals, 0.0)
+    return pattern.with_data(vals)
 
 
 # ---------------------------------------------------------------------------

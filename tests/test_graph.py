@@ -1,0 +1,214 @@
+"""Graph-algorithm tests vs scipy.sparse.csgraph oracles."""
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.csgraph as csgraph
+
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.ops import CSR
+from mlamg_tpu.graph import (
+    topk_mask,
+    topk_indices,
+    bellman_ford,
+    nearest_center_to_agg,
+    lloyd_aggregation,
+    connected_components,
+    num_connected_components,
+    check_aggregates_connected,
+    greedy_coarsening,
+    diag_dominance,
+    strength_measure,
+)
+from mlamg_tpu.graph.bellman_ford import agg_matrix_csr, agg_matrix_dense
+from mlamg_tpu.graph.strength import power_iteration_lmax
+
+
+def poisson2d(nx):
+    I = sp.eye(nx)
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr()
+
+
+def random_graph(rng, n, density=0.1):
+    """Random symmetric positively-weighted graph with a self-free pattern."""
+    A = sp.random(n, n, density=density, format="coo", random_state=rng)
+    A.data = np.abs(A.data) + 0.1
+    A = A + A.T  # symmetric
+    A.setdiag(0)
+    A.eliminate_zeros()
+    return A.tocsr()
+
+
+class TestTopK:
+    def test_matches_argsort(self, rng):
+        x = rng.randn(100)
+        for k in [1, 5, 30]:
+            m = np.asarray(topk_mask(jnp.asarray(x), k))
+            expected = np.zeros(100)
+            expected[np.argsort(-x)[:k]] = 1.0
+            np.testing.assert_array_equal(m, expected)
+
+    def test_indices_static_shape(self):
+        idx = jax.jit(topk_indices, static_argnums=1)(jnp.arange(10.0), 3)
+        np.testing.assert_array_equal(np.sort(np.asarray(idx)), [7, 8, 9])
+
+
+class TestBellmanFord:
+    def test_distances_vs_dijkstra(self, rng):
+        G = random_graph(rng, 60, 0.08)
+        centers = np.array([3, 17, 42], dtype=np.int32)
+        Gc = CSR.from_scipy(G, dtype=jnp.float64)
+        dist, nearest = jax.jit(bellman_ford)(Gc, jnp.asarray(centers))
+        # oracle: multi-source dijkstra over the same directed edges
+        d_ref = csgraph.dijkstra(G, indices=centers, min_only=True)
+        np.testing.assert_allclose(np.asarray(dist), d_ref, atol=1e-10)
+
+    def test_nearest_center_valid(self, rng):
+        G = random_graph(rng, 50, 0.15)
+        centers = np.array([0, 10, 20], dtype=np.int32)
+        Gc = CSR.from_scipy(G, dtype=jnp.float64)
+        dist, nearest = bellman_ford(Gc, jnp.asarray(centers))
+        near = np.asarray(nearest)
+        reachable = np.isfinite(np.asarray(dist))
+        assert set(near[reachable]).issubset(set(centers.tolist()))
+        # centers are their own nearest
+        np.testing.assert_array_equal(near[centers], centers)
+
+    def test_agg_matrix(self):
+        centers = jnp.array([2, 5], dtype=jnp.int32)
+        nearest = jnp.array([2, 2, 2, 5, 5, 5], dtype=jnp.int32)
+        agg_id = nearest_center_to_agg(centers, nearest)
+        np.testing.assert_array_equal(np.asarray(agg_id), [0, 0, 0, 1, 1, 1])
+        Ad = np.asarray(agg_matrix_dense(agg_id, 2))
+        assert Ad.sum() == 6 and Ad[:3, 0].all() and Ad[3:, 1].all()
+        Ac = agg_matrix_csr(agg_id, 2).to_scipy().toarray()
+        np.testing.assert_array_equal(Ac, Ad)
+
+
+class TestComponents:
+    def test_num_components(self, rng):
+        blocks = [random_graph(rng, 20, 0.3), random_graph(rng, 15, 0.3)]
+        # ensure each block is internally connected
+        for b in blocks:
+            ncc = csgraph.connected_components(b, directed=False)[0]
+            if ncc != 1:  # add a path to connect
+                n = b.shape[0]
+                path = sp.diags([np.ones(n - 1)], [1], shape=(n, n))
+                b += path + path.T
+        G = sp.block_diag(blocks).tocsr()
+        n_ref = csgraph.connected_components(G, directed=False)[0]
+        got = int(num_connected_components(CSR.from_scipy(G, dtype=jnp.float64)))
+        assert got == n_ref == 2
+
+    def test_labels_match_scipy(self, rng):
+        G = random_graph(rng, 40, 0.05)
+        Gc = CSR.from_scipy(G, dtype=jnp.float64)
+        labels = np.asarray(connected_components(Gc))
+        _, ref = csgraph.connected_components(G, directed=False)
+        # same partition (labels may differ): compare co-membership
+        same_ours = labels[:, None] == labels[None, :]
+        same_ref = ref[:, None] == ref[None, :]
+        np.testing.assert_array_equal(same_ours, same_ref)
+
+    def test_aggregates_connected(self):
+        # path graph 0-1-2-3-4-5; aggregates {0,1,2} {3,4,5} connected
+        n = 6
+        path = sp.diags([np.ones(n - 1), np.ones(n - 1)], [1, -1]).tocsr()
+        Gc = CSR.from_scipy(path, dtype=jnp.float64)
+        agg = jnp.array([0, 0, 0, 1, 1, 1], dtype=jnp.int32)
+        assert bool(check_aggregates_connected(Gc, agg, 2))
+        # aggregate {0,1,5} is NOT connected
+        agg_bad = jnp.array([0, 0, 1, 1, 1, 0], dtype=jnp.int32)
+        assert not bool(check_aggregates_connected(Gc, agg_bad, 2))
+
+
+class TestLloyd:
+    def test_partition_properties(self, rng):
+        A = poisson2d(12)
+        G = abs(A)
+        G.setdiag(0)
+        G.eliminate_zeros()
+        Gc = CSR.from_scipy(G, dtype=jnp.float64)
+        agg_id, roots, seeds = lloyd_aggregation(Gc, ratio=0.1, maxiter=5)
+        agg = np.asarray(agg_id)
+        k = int(np.ceil(0.1 * G.shape[0]))
+        assert agg.min() >= 0 and agg.max() < k
+        # every cluster non-empty and contains its root
+        roots_np = np.asarray(roots)
+        for j in range(k):
+            members = np.where(agg == j)[0]
+            assert len(members) > 0
+            assert agg[roots_np[j]] == j
+        # aggregates are connected subgraphs
+        assert bool(check_aggregates_connected(Gc, agg_id, k))
+
+    def test_deterministic(self, rng):
+        G = abs(poisson2d(8))
+        G.setdiag(0)
+        G.eliminate_zeros()
+        Gc = CSR.from_scipy(G, dtype=jnp.float64)
+        a1, r1, _ = lloyd_aggregation(Gc, ratio=0.2, key=jax.random.PRNGKey(7))
+        a2, r2, _ = lloyd_aggregation(Gc, ratio=0.2, key=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+class TestCoarsening:
+    def test_diag_dominance(self):
+        A = sp.csr_matrix(np.array([[4.0, -1.0, 0.0], [-1.0, 4.0, -2.0], [0.0, -2.0, 3.0]]))
+        d = diag_dominance(A)
+        np.testing.assert_allclose(d, [4 / 5, 4 / 7, 3 / 5])
+
+    def test_greedy_partition(self):
+        A = poisson2d(8)
+        nF, F, C = greedy_coarsening(A, theta=0.56)
+        n = A.shape[0]
+        assert nF == len(F)
+        assert len(F) + len(C) == n
+        assert len(set(F) & set(C)) == 0
+        assert len(C) > 0 and len(F) > 0
+
+    def test_greedy_all_dominant(self):
+        # strongly diagonally dominant -> everything F immediately
+        A = sp.csr_matrix(sp.eye(10) * 5)
+        nF, F, C = greedy_coarsening(A, theta=0.9)
+        assert nF == 10 and len(C) == 0
+
+
+class TestStrength:
+    def test_simple_measures(self, rng):
+        A = poisson2d(6)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(strength_measure(Ac, "abs").todense()), abs(A).toarray()
+        )
+        u = strength_measure(Ac, "unit").to_scipy()
+        assert (u.data == 1).all()
+        inv = strength_measure(Ac, "invabs").to_scipy()
+        np.testing.assert_allclose(inv.data, 1.0 / np.abs(A.tocsr().data))
+
+    def test_power_iteration(self, rng):
+        A = poisson2d(10)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        lmax = float(power_iteration_lmax(Ac, iters=200))
+        ref = np.abs(np.linalg.eigvalsh(A.toarray())).max()
+        # power iteration converges slowly when eigenvalues cluster; the
+        # estimate feeds an omega heuristic so ~1e-3 relative is plenty
+        np.testing.assert_allclose(lmax, ref, rtol=5e-3)
+
+    def test_evolution_anisotropic(self):
+        # anisotropic 2D stencil: strong coupling in x, weak in y
+        nx = 8
+        eps = 1e-2
+        Ix = sp.eye(nx)
+        Tx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+        A = (sp.kron(Ix, Tx) + eps * sp.kron(Tx, Ix)).tocsr()
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        w = int(np.diff(A.indptr).max())
+        C = strength_measure(Ac, "evolution", width=w).to_scipy()
+        # distance along strong (x) axis must be much smaller than weak (y)
+        i = nx * (nx // 2) + nx // 2  # interior node
+        d_strong = C[i, i + 1]
+        d_weak = C[i, i + nx]
+        assert d_strong < d_weak / 5
