@@ -1,0 +1,262 @@
+"""Problem container and generators (role of ns/model/data.py:65-544).
+
+``Grid`` stores a scipy CSR system + node coordinates + metadata, with
+bz2-pickled ``.grid`` file IO *format-compatible with the reference*
+(ns/model/data.py:208-243 stores {'A': (data, indices, indptr), 'x', 'extra'})
+so datasets produced by either codebase load in both.
+
+Generators cover the reference's problem families without pyamg/gmsh/
+Firedrake dependencies:
+
+- 1D Poisson FD, Dirichlet/Neumann                 (data.py:246-298)
+- 2D FEM diffusion on structured triangle meshes,
+  isotropic/anisotropic/jump/custom-kappa           (data.py:301-497)
+- 2D FEM on caller-provided (points, tris, boundary) meshes
+- random unstructured 2D via Delaunay of sampled points (the gmsh-free
+  equivalent of data.py:416-433)
+- 3D anisotropic Laplace, 7-point FD with rotated tensor (the
+  Firedrake-free equivalent of utils/create_3d_laplace.py)
+"""
+
+from __future__ import annotations
+
+import bz2
+import os
+import pickle
+from typing import Callable
+
+import numpy as np
+import scipy.sparse as sp
+
+from mlamg_tpu.data import fem
+
+
+def pickle_save_bz2(fname: str, obj) -> None:
+    with bz2.open(fname, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def pickle_load_bz2(fname: str):
+    with bz2.open(fname, "rb") as f:
+        return pickle.load(f)
+
+
+class Grid:
+    """A linear system with geometry: A (scipy CSR), x (n, dim) coords, extra."""
+
+    def __init__(self, A_csr, x=None, extra=None):
+        self.A = sp.csr_matrix(A_csr)
+        self.x = x
+        self.extra = dict(extra or {})
+
+    @property
+    def n(self) -> int:
+        return self.A.shape[0]
+
+    # -- IO (reference-compatible format) -----------------------------------
+
+    def save(self, fname: str) -> None:
+        if ".grid" not in fname:
+            fname = fname + ".grid"
+        A = self.A.tocsr()
+        pickle_save_bz2(
+            fname,
+            {"A": (A.data, A.indices, A.indptr), "x": self.x, "extra": self.extra},
+        )
+
+    @staticmethod
+    def load(fname: str) -> "Grid":
+        if ".grid" not in fname:
+            fname = fname + ".grid"
+        loaded = pickle_load_bz2(fname)
+        extra = loaded.get("extra", {}) or {}
+        extra["filename"] = fname
+        A = loaded["A"]
+        if isinstance(A, tuple):
+            A = sp.csr_matrix(A)
+        return Grid(A, loaded["x"], extra)
+
+    @staticmethod
+    def load_dir(directory: str) -> list:
+        grids = []
+        for f in sorted(os.listdir(directory)):
+            if ".grid" in f.lower():
+                grids.append(Grid.load(os.path.join(directory, f)))
+        return grids
+
+    # -- 1D finite differences ----------------------------------------------
+
+    @staticmethod
+    def structured_1d_poisson_dirichlet(n: int, xdim=(0, 1)) -> "Grid":
+        x = np.linspace(xdim[0], xdim[1], n + 2)[1:-1]
+        h = abs(x[1] - x[0])
+        A = (sp.eye(n) * 2 - sp.eye(n, k=-1) - sp.eye(n, k=1)) * (h ** -2.0)
+        return Grid(A.tocsr(), np.column_stack((x, np.zeros_like(x))))
+
+    @staticmethod
+    def structured_1d_poisson_neumann(n: int, xdim=(0, 1)) -> "Grid":
+        x = np.linspace(xdim[0], xdim[1], n)
+        h = abs(x[1] - x[0])
+        A = (sp.eye(n) * 2 - sp.eye(n, k=-1) - sp.eye(n, k=1)).tolil()
+        A[0, 0] = 1
+        A[0, 1] = -1
+        A[-1, -1] = 1
+        A[-1, -2] = -1
+        A = A.tocsr() * (h ** -2.0)
+        return Grid(A, np.column_stack((x, np.zeros_like(x))))
+
+    # -- 2D P1 finite elements ----------------------------------------------
+
+    @staticmethod
+    def mesh_2d_poisson_dirichlet(
+        vertices, elements, boundary, kappa: Callable | None = None, extra=None
+    ) -> "Grid":
+        """FEM diffusion on an arbitrary triangle mesh with Dirichlet
+        elimination (role of meshio_2d_poisson_dirichlet*, data.py:301-414)."""
+        A = fem.gradgradform(vertices, elements, kappa=kappa)
+        A_d, x_int = fem.eliminate_dirichlet(A, np.asarray(vertices)[:, :2], boundary)
+        return Grid(A_d, x_int, extra)
+
+    @staticmethod
+    def structured_2d_poisson_dirichlet(
+        n_pts_x: int, n_pts_y: int, epsilon: float = 1.0, theta: float = 0.0
+    ) -> "Grid":
+        v, e = fem.regular_triangle_mesh(n_pts_x + 2, n_pts_y + 2)
+        boundary = fem.boundary_vertices_structured(v)
+        kappa = fem.anisotropic_kappa(epsilon, theta)
+        g = Grid.mesh_2d_poisson_dirichlet(
+            v, e, boundary, kappa, {"epsilon": epsilon, "theta": theta}
+        )
+        return g
+
+    @staticmethod
+    def structured_2d_poisson_neumann(
+        n_pts_x: int, n_pts_y: int, epsilon: float = 1.0, theta: float = 0.0
+    ) -> "Grid":
+        v, e = fem.regular_triangle_mesh(n_pts_x, n_pts_y)
+        kappa = fem.anisotropic_kappa(epsilon, theta)
+        A = fem.gradgradform(v, e, kappa=kappa)
+        return Grid(A, v, {"epsilon": epsilon, "theta": theta})
+
+    @staticmethod
+    def structured_2d_poisson_dirichlet_jumps(
+        n_pts_x: int, n_pts_y: int, jumps: np.ndarray
+    ) -> "Grid":
+        v, e = fem.regular_triangle_mesh(n_pts_x + 2, n_pts_y + 2)
+        boundary = fem.boundary_vertices_structured(v)
+        return Grid.mesh_2d_poisson_dirichlet(
+            v, e, boundary, fem.jump_kappa(jumps), {"jumps": jumps}
+        )
+
+    @staticmethod
+    def random_2d_unstructured(
+        n_interior: int, epsilon: float = 1.0, theta: float = 0.0, seed=None
+    ) -> "Grid":
+        """Random unstructured 2D diffusion problem: sample points, take the
+        Delaunay triangulation, eliminate the convex-hull boundary.  The
+        gmsh-free analogue of the reference's random-hull generator
+        (data.py:416-433)."""
+        import scipy.spatial as spat
+
+        rng = np.random.RandomState(seed)
+        # Interior points + a ring of hull points for a reasonable boundary
+        pts = rng.rand(n_interior, 2)
+        tri = spat.Delaunay(pts)
+        v = tri.points
+        e = tri.simplices
+        # drop degenerate slivers
+        p0, p1, p2 = v[e[:, 0]], v[e[:, 1]], v[e[:, 2]]
+        area = 0.5 * np.abs(
+            (p1 - p0)[:, 0] * (p2 - p0)[:, 1] - (p1 - p0)[:, 1] * (p2 - p0)[:, 0]
+        )
+        e = e[area > 1e-12]
+        boundary = np.unique(tri.convex_hull.ravel())
+        kappa = fem.anisotropic_kappa(epsilon, theta)
+        return Grid.mesh_2d_poisson_dirichlet(
+            v, e, boundary, kappa, {"epsilon": epsilon, "theta": theta, "seed": seed}
+        )
+
+    # -- 3D finite differences ----------------------------------------------
+
+    @staticmethod
+    def structured_3d_laplace_dirichlet(
+        nx: int, ny: int, nz: int, epsilon: np.ndarray | None = None, R: np.ndarray | None = None
+    ) -> "Grid":
+        """3D anisotropic Laplace: -div(K grad u), K = R diag(eps) R^T, on a
+        structured grid with a 7-point (plus cross-term) FD stencil.
+
+        The Firedrake-free analogue of utils/create_3d_laplace.py:35-76;
+        cross-derivative terms of the rotated tensor are discretized with
+        centered differences.
+        """
+        eps = np.ones(3) if epsilon is None else np.asarray(epsilon, float)
+        Rm = np.eye(3) if R is None else np.asarray(R, float)
+        K = Rm @ np.diag(eps) @ Rm.T
+
+        n = nx * ny * nz
+        idx = np.arange(n).reshape(nx, ny, nz)
+        h = 1.0 / (max(nx, ny, nz) + 1)
+
+        rows, cols, vals = [], [], []
+
+        def add(i, j, v):
+            rows.append(i.ravel())
+            cols.append(j.ravel())
+            vals.append(np.full(i.size, v))
+
+        # second-order terms K[d,d] * d^2/dx_d^2
+        shifts = [
+            ((1, 0, 0), K[0, 0]),
+            ((0, 1, 0), K[1, 1]),
+            ((0, 0, 1), K[2, 2]),
+        ]
+        diag = 2.0 * (K[0, 0] + K[1, 1] + K[2, 2]) / h**2
+        add(idx, idx, diag)
+        for (sx, sy, sz), kdd in shifts:
+            a = idx[sx:, sy:, sz:]
+            b = idx[: nx - sx, : ny - sy, : nz - sz]
+            add(a, b, -kdd / h**2)
+            add(b, a, -kdd / h**2)
+
+        # mixed terms 2*K[a,b] * d^2/(dx_a dx_b): centered cross stencil
+        cross = [((1, 1, 0), K[0, 1]), ((1, 0, 1), K[0, 2]), ((0, 1, 1), K[1, 2])]
+        for (sx, sy, sz), kab in cross:
+            if abs(kab) < 1e-14:
+                continue
+            c = kab / (2.0 * h**2)
+            app = idx[sx:, sy:, sz:]
+            amm = idx[: nx - sx, : ny - sy, : nz - sz]
+            add(app, amm, -c)
+            add(amm, app, -c)
+            # opposite diagonal (+,-), (-,+)
+            if (sx, sy, sz) == (1, 1, 0):
+                a2, b2 = idx[1:, : ny - 1, :], idx[: nx - 1, 1:, :]
+            elif (sx, sy, sz) == (1, 0, 1):
+                a2, b2 = idx[1:, :, : nz - 1], idx[: nx - 1, :, 1:]
+            else:
+                a2, b2 = idx[:, 1:, : nz - 1], idx[:, : ny - 1, 1:]
+            add(a2, b2, c)
+            add(b2, a2, c)
+
+        A = sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n, n),
+        ).tocsr()
+        xs = np.linspace(0, 1, nx)
+        ys = np.linspace(0, 1, ny)
+        zs = np.linspace(0, 1, nz)
+        X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+        coords = np.column_stack([X.ravel(), Y.ravel(), Z.ravel()])
+        return Grid(A, coords, {"epsilon": eps, "R": Rm})
+
+
+def rotation_matrix_3d(ax: float, ay: float, az: float) -> np.ndarray:
+    """XYZ Euler rotation (for anisotropic 3D problems, role of the rotation
+    matrices in utils/create_3d_laplace.py)."""
+    cx, sx = np.cos(ax), np.sin(ax)
+    cy, sy = np.cos(ay), np.sin(ay)
+    cz, sz = np.cos(az), np.sin(az)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
