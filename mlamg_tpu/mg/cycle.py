@@ -119,7 +119,16 @@ def twolevel_solve(
 
     x, err, iters, _ = jax.lax.while_loop(cond, body, (x0, err0, 0, jnp.bool_(False)))
 
-    # Geometric-mean convergence factor, reference semantics.
+    conv = _conv_factor(err, iters)
+    return x, conv, err, iters
+
+
+def _conv_factor(err: jax.Array, iters: jax.Array) -> jax.Array:
+    """Geometric-mean convergence factor with the reference's readout
+    semantics (multigrid.py:196-208), plus its failure convention: a NaN/Inf
+    history (diverged smoother, singular coarse operator) scores 1.0 — the
+    "no convergence" penalty the reference applies on solver failure
+    (multigrid.py:167-170, utils/train_dataset.py:116)."""
     err_n = jnp.minimum(iters // 3, 10)
     last = err[jnp.maximum(iters - 1, 0)]
     base = err[jnp.maximum(iters - err_n, 0)]
@@ -129,8 +138,9 @@ def twolevel_solve(
         ** (1.0 / jnp.maximum(err_n - 1, 1)),
         0.0,
     )
-    conv = jnp.where(jnp.isfinite(conv), conv, 1.0)
-    return x, conv, err, iters
+    failed = ~jnp.isfinite(last) | ~jnp.isfinite(base)
+    conv = jnp.where(failed | ~jnp.isfinite(conv), 1.0, conv)
+    return conv
 
 
 # ---------------------------------------------------------------------------
@@ -288,13 +298,4 @@ def vcycle_solve(
         return x, err, i + 1, e <= res_tol
 
     x, err, iters, _ = jax.lax.while_loop(cond, body, (x0, err0, 0, jnp.bool_(False)))
-    err_n = jnp.minimum(iters // 3, 10)
-    last = err[jnp.maximum(iters - 1, 0)]
-    base = err[jnp.maximum(iters - err_n, 0)]
-    conv = jnp.where(
-        (iters >= 6) & (base > 0),
-        (last / jnp.where(base > 0, base, 1.0)) ** (1.0 / jnp.maximum(err_n - 1, 1)),
-        0.0,
-    )
-    conv = jnp.where(jnp.isfinite(conv), conv, 1.0)
-    return x, conv, err, iters
+    return x, _conv_factor(err, iters), err, iters

@@ -1,0 +1,199 @@
+"""Tests: differentiable amg_loss, continuous interpolation nets, C/F
+interpolation net, convergence predictor."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.ops import CSR
+from mlamg_tpu.mg import sa_interpolation_dense
+from mlamg_tpu.models import (
+    amg_loss,
+    make_test_vectors,
+    E_loss,
+    R_jacobi,
+    graph_from_matrix_basic,
+    InterpolationNetwork,
+    CoarseFineNetwork,
+    ContinuousInterpolationFullNetwork,
+    EC_loss,
+    E_loss_discrete,
+    CFInterpolationNetwork,
+    cf_rank,
+    ConvergencePredictor,
+)
+from mlamg_tpu.graph import greedy_coarsening
+
+
+def poisson1d(n):
+    return sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+
+
+def poisson2d(nx):
+    I = sp.eye(nx)
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr()
+
+
+class TestAmgLoss:
+    def test_good_P_beats_bad_P(self, rng):
+        n = 48
+        A = poisson1d(n)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        agg = jnp.asarray(np.arange(n) // 3)
+        P_good = sa_interpolation_dense(Ac, agg, 16, omega=0.6)
+        P_bad = jnp.asarray(np.random.RandomState(0).rand(n, 16))
+        tv = make_test_vectors(n, 8, dtype=jnp.float64)
+        l_good = float(amg_loss(P_good, Ac, tv))
+        l_bad = float(amg_loss(P_bad, Ac, tv))
+        assert l_good < l_bad
+        assert 0 <= l_good < 1
+
+    def test_differentiable_wrt_P(self, rng):
+        n = 24
+        A = poisson1d(n)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        agg = jnp.asarray(np.arange(n) // 3)
+        P = sa_interpolation_dense(Ac, agg, 8, omega=0.6)
+        tv = make_test_vectors(n, 4, dtype=jnp.float64)
+
+        f = lambda P: amg_loss(P, Ac, tv)
+        g = jax.grad(f)(P)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+        # finite-difference check
+        eps = 1e-6
+        i, j = 5, 1
+        P2 = P.at[i, j].add(eps)
+        fd = (float(f(P2)) - float(f(P))) / eps
+        np.testing.assert_allclose(float(g[i, j]), fd, rtol=1e-3, atol=1e-8)
+
+    def test_gradient_descent_improves(self, rng):
+        # a few Adam-free GD steps on P must reduce the loss (the reference's
+        # differentiable training path, demos/1d_poisson.py:83-99)
+        n = 30
+        A = poisson1d(n)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        agg = jnp.asarray(np.arange(n) // 3)
+        P = sa_interpolation_dense(Ac, agg, 10, omega=0.4)
+        tv = make_test_vectors(n, 6, dtype=jnp.float64)
+        import optax
+
+        f = jax.jit(lambda P: amg_loss(P, Ac, tv))
+        g = jax.jit(jax.grad(lambda P: amg_loss(P, Ac, tv)))
+        opt = optax.adam(1e-2)
+        state = opt.init(P)
+        l0 = float(f(P))
+        for _ in range(30):
+            upd, state = opt.update(g(P), state)
+            P = optax.apply_updates(P, upd)
+        l1 = float(f(P))
+        assert l1 < l0
+
+    def test_neumann_fix(self, rng):
+        n = 24
+        A = poisson1d(n).tolil()
+        A[0, 0] = 1.0
+        A[0, 1] = -1.0
+        A[-1, -1] = 1.0
+        A[-1, -2] = -1.0
+        A = sp.csr_matrix(A)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        agg = jnp.asarray(np.arange(n) // 4)
+        P = sa_interpolation_dense(Ac, agg, 6, omega=0.6)
+        tv = make_test_vectors(n, 4, dtype=jnp.float64)
+        l = float(amg_loss(P, Ac, tv, neumann_solve_fix=True))
+        assert np.isfinite(l) and 0 <= l <= 1.2
+
+
+class TestEnergyLosses:
+    def test_E_loss_good_vs_bad(self, rng):
+        n = 24
+        A = poisson1d(n)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        agg = jnp.asarray(np.arange(n) // 3)
+        P_good = sa_interpolation_dense(Ac, agg, 8, omega=0.6)
+        P_bad = jnp.asarray(np.random.RandomState(0).rand(n, 8))
+        R = R_jacobi(Ac)
+        assert float(E_loss_discrete(Ac, P_good, R)) < float(
+            E_loss_discrete(Ac, P_bad, R)
+        )
+
+    def test_EC_loss_finite_and_differentiable(self, rng):
+        n = 16
+        A = poisson1d(n)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        R = R_jacobi(Ac)
+        Phat = jnp.asarray(np.random.RandomState(0).rand(n, n) * 0.1 + np.eye(n))
+        c = jnp.asarray((np.arange(n) % 2).astype(float) * 0.8 + 0.1)
+        val, grads = jax.value_and_grad(EC_loss, argnums=(1, 2))(Ac, Phat, c, R)
+        assert np.isfinite(float(val))
+        assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+
+class TestContinuousNets:
+    def test_full_network_vmapped_columns(self, rng):
+        n = 12
+        A = poisson1d(n)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        g = graph_from_matrix_basic(Ac)
+        net = ContinuousInterpolationFullNetwork(K_interp=3, K_cf=3)
+        params = net.init(jax.random.PRNGKey(0), g)
+        Phat, c = net.apply(params, g)
+        assert Phat.shape == (n, n)
+        assert c.shape == (n,)
+        assert (np.asarray(c) > 0).all() and (np.asarray(c) < 1).all()
+
+    def test_interp_column_matches_loop(self, rng):
+        # vmapped column must equal a single-column call
+        n = 10
+        A = poisson1d(n)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        g = graph_from_matrix_basic(Ac)
+        net = InterpolationNetwork(K=3)
+        c = jnp.asarray(np.random.RandomState(0).rand(n))
+        params = net.init(jax.random.PRNGKey(0), g, c, 0)
+        cols = jax.vmap(lambda i: net.apply(params, g, c, i), out_axes=1)(
+            jnp.arange(n)
+        )
+        single = net.apply(params, g, c, 4)
+        np.testing.assert_allclose(np.asarray(cols[:, 4]), np.asarray(single), atol=1e-10)
+
+
+class TestCFInterp:
+    def test_forward_mat(self, rng):
+        A = poisson2d(6)
+        n = A.shape[0]
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        nF, F, C = greedy_coarsening(A, theta=0.56)
+        is_coarse = np.zeros(n, bool)
+        is_coarse[C] = True
+        c_rank, num_c = cf_rank(is_coarse)
+        net = CFInterpolationNetwork(dims=(8, 8, 16), K=2)
+        params = net.init(
+            jax.random.PRNGKey(0), Ac, jnp.asarray(is_coarse), jnp.asarray(c_rank), num_c
+        )
+        P = net.apply(params, Ac, jnp.asarray(is_coarse), jnp.asarray(c_rank), num_c)
+        Pd = P.to_scipy().toarray()
+        assert Pd.shape == (n, num_c)
+        # unit rows at coarse points
+        for j, cpt in enumerate(np.where(is_coarse)[0]):
+            assert Pd[cpt, c_rank[cpt]] == 1.0
+        # fine rows only interpolate from coarse neighbours
+        assert np.isfinite(Pd).all()
+
+
+class TestConvergencePredictor:
+    def test_scalar_output_and_grad(self, rng):
+        A = poisson2d(5)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        g = graph_from_matrix_basic(Ac)
+        net = ConvergencePredictor(dims=(8, 8), K=4)
+        params = net.init(jax.random.PRNGKey(0), g)
+        y = net.apply(params, g)
+        assert 0 < float(y) < 1
+        grads = jax.grad(lambda p: net.apply(p, g))(params)
+        flat = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(x)).all() for x in flat)
