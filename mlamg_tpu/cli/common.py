@@ -1,0 +1,65 @@
+"""Shared CLI helpers (role of utils/common.py)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax
+
+from mlamg_tpu.data import Grid
+from mlamg_tpu.graph.strength import STRENGTH_MEASURES
+from mlamg_tpu.train import GridBundle, SolveOptions, lloyd_reference_conv
+
+
+def parse_bool_str(v: str) -> bool:
+    return str(v).lower() in ("t", "true", "1", "yes")
+
+
+def load_dataset(system: str, alpha: float, dtype):
+    """Load train/test .grid dirs (reference train_dataset.py:62-69)."""
+    import os
+
+    train_dir = os.path.join(system, "train")
+    test_dir = os.path.join(system, "test")
+    if not (os.path.exists(train_dir) and os.path.exists(test_dir)):
+        train_dir = test_dir = system
+    train = [GridBundle.from_grid(g, alpha, dtype) for g in Grid.load_dir(train_dir)]
+    test = [GridBundle.from_grid(g, alpha, dtype) for g in Grid.load_dir(test_dir)]
+    return train, test
+
+
+def compute_reference_convs(bundles, strength_measure: str, opts: SolveOptions):
+    """Lloyd benchmark per grid (role of compute_ref_loss,
+    train_dataset.py:164-167)."""
+    for i, b in enumerate(bundles):
+        b.ref_conv = max(lloyd_reference_conv(b, strength_measure, opts), 1e-6)
+    return np.asarray([b.ref_conv for b in bundles])
+
+
+def add_training_args(parser: argparse.ArgumentParser):
+    parser.add_argument("system", type=str, help="Problem folder with .grid files")
+    parser.add_argument("--max-generations", type=int, default=500)
+    parser.add_argument("--population-size", type=int, default=20)
+    parser.add_argument("--alpha", type=float, default=0.1, help="coarsening ratio")
+    parser.add_argument("--start-generation", type=int, default=0)
+    parser.add_argument("--start-model", type=str, default=None)
+    parser.add_argument("--strength-measure", default="abs", choices=STRENGTH_MEASURES)
+    parser.add_argument("--greedy", default=False, type=parse_bool_str)
+    parser.add_argument("--batched", default=False, type=parse_bool_str)
+    parser.add_argument("--compute-test-loss", default=True, type=parse_bool_str)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--loss-relative-measure", type=parse_bool_str, default=True)
+    parser.add_argument("--evaluate-bench-loss", type=parse_bool_str, default=True)
+    parser.add_argument("--pre-smooth", type=int, default=1)
+    parser.add_argument("--post-smooth", type=int, default=1)
+    parser.add_argument("--res-tol", type=float, default=1e-6)
+    parser.add_argument("--max-iter", type=int, default=300)
+    parser.add_argument("--dim", type=int, default=8, help="model hidden dim")
+    parser.add_argument("--num-conv", type=int, default=2)
+    parser.add_argument("--iterations", type=int, default=2)
+    parser.add_argument("--mesh-pop", type=int, default=0,
+                        help="shard population fitness over this many devices (0 = no mesh)")
+    parser.add_argument("--checkpoint-dir", type=str, default="models_chkpt")
+    parser.add_argument("--float64", default=False, type=parse_bool_str)
+    return parser

@@ -1,0 +1,75 @@
+"""Dataset generation (role of utils/create_data.py + create_3d_laplace.py).
+
+    python -m mlamg_tpu.cli.create_data out_dir --n-grids 100 --type anisotropic
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from mlamg_tpu.data import Grid, rotation_matrix_3d
+
+
+def gen_one(kind: str, rng: np.random.RandomState, target_dof: int) -> Grid:
+    if kind == "isotropic":
+        return Grid.random_2d_unstructured(target_dof, seed=rng.randint(1 << 31))
+    if kind == "anisotropic":
+        eps = 10.0 ** rng.uniform(-4, 0)
+        theta = rng.uniform(0, 2 * np.pi)
+        return Grid.random_2d_unstructured(
+            target_dof, epsilon=eps, theta=theta, seed=rng.randint(1 << 31)
+        )
+    if kind == "jump":
+        nj = rng.randint(2, 8)
+        jumps = np.column_stack(
+            [rng.rand(nj), rng.rand(nj), 10.0 ** rng.uniform(-2, 2, nj)]
+        )
+        side = int(np.sqrt(target_dof))
+        return Grid.structured_2d_poisson_dirichlet_jumps(side, side, jumps)
+    if kind == "structured":
+        side = int(np.sqrt(target_dof))
+        eps = 10.0 ** rng.uniform(-4, 0)
+        theta = rng.uniform(0, 2 * np.pi)
+        return Grid.structured_2d_poisson_dirichlet(side, side, eps, theta)
+    if kind == "3d":
+        side = max(4, round(target_dof ** (1 / 3)))
+        eps = 10.0 ** rng.uniform(-3, 0, size=3)
+        R = rotation_matrix_3d(*rng.uniform(0, np.pi, 3))
+        return Grid.structured_3d_laplace_dirichlet(side, side, side, epsilon=eps, R=R)
+    raise ValueError(f"unknown dataset type {kind}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Generate .grid datasets")
+    p.add_argument("out_dir", type=str)
+    p.add_argument("--n-grids", type=int, default=100)
+    p.add_argument("--type", default="isotropic",
+                   choices=["isotropic", "anisotropic", "jump", "structured", "3d"])
+    p.add_argument("--dof", type=int, default=300, help="approximate unknowns per grid")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--split", type=float, default=0.0,
+                   help="if >0, write train/ and test/ subdirs with this test fraction")
+    args = p.parse_args(argv)
+
+    rng = np.random.RandomState(args.seed)
+    if args.split > 0:
+        n_test = int(args.n_grids * args.split)
+        dirs = [("train", args.n_grids - n_test), ("test", n_test)]
+    else:
+        dirs = [("", args.n_grids)]
+    for sub, count in dirs:
+        d = os.path.join(args.out_dir, sub) if sub else args.out_dir
+        os.makedirs(d, exist_ok=True)
+        for i in range(count):
+            g = gen_one(args.type, rng, args.dof)
+            g.save(os.path.join(d, f"{args.type}_{i:04d}"))
+            if (i + 1) % 20 == 0:
+                print(f"{d}: {i + 1}/{count}")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

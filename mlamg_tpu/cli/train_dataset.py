@@ -1,0 +1,132 @@
+"""GA dataset training (role of utils/train_dataset.py).
+
+Example:
+    python -m mlamg_tpu.cli.train_dataset data/2d_iso --max-generations 50 \
+        --population-size 16 --alpha 0.1
+
+The fitness of the whole population per grid runs as one jitted vmapped XLA
+program; pass --mesh-pop N to shard it over N devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.cli.common import add_training_args, load_dataset, compute_reference_convs
+from mlamg_tpu.models import FullAggNet
+from mlamg_tpu.ga import ParallelGA, GAConfig, flatten_params, init_population
+from mlamg_tpu.train import SolveOptions, make_population_fitness, evaluate_model_on_bundles
+from mlamg_tpu.utils import Profiler, MetricsWriter, save_checkpoint, load_checkpoint
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="GA training of FullAggNet on a .grid dataset")
+    add_training_args(parser)
+    args = parser.parse_args(argv)
+
+    dtype = jnp.float64 if args.float64 else jnp.float32
+    if args.float64:
+        jax.config.update("jax_enable_x64", True)
+    Profiler.enabled = True
+
+    opts = SolveOptions(
+        res_tol=args.res_tol, max_iter=args.max_iter,
+        pre_smooth=args.pre_smooth, post_smooth=args.post_smooth,
+    )
+    train, test = load_dataset(args.system, args.alpha, dtype)
+    print(f"loaded {len(train)} train / {len(test)} test grids")
+
+    if args.evaluate_bench_loss:
+        with Profiler("lloyd benchmark"):
+            tb = compute_reference_convs(train, args.strength_measure, opts)
+            print(f"train Lloyd benchmark conv: {tb.mean():.4f}")
+            if args.compute_test_loss:
+                teb = compute_reference_convs(test, args.strength_measure, opts)
+                print(f"test Lloyd benchmark conv: {teb.mean():.4f}")
+
+    net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations)
+    params = net.init(jax.random.PRNGKey(0), train[0].A, train[0].k)
+    if args.start_model:
+        params = load_checkpoint(args.start_model)["best_params"]
+    vec, unravel, fold_ids, fold_names = flatten_params(params)
+    print(f"{vec.shape[0]} weights in {len(fold_names)} folds")
+
+    mesh = None
+    if args.mesh_pop:
+        from mlamg_tpu.parallel import make_mesh
+
+        mesh = make_mesh(pop=args.mesh_pop, row=1)
+
+    fitness = make_population_fitness(
+        net, unravel, train, opts,
+        loss_relative=args.loss_relative_measure, mesh=mesh,
+        batch_size=args.batch_size if args.batched else None,
+    )
+
+    pop0 = init_population(jax.random.PRNGKey(1), vec, args.population_size, perturb=0.5)
+    cfg = GAConfig(
+        crossover_probability=0.0,
+        mutation_probability=1.0,
+        mutation_min_perturb=-0.5,
+        mutation_max_perturb=0.5,
+        steady_state_top_use=0.5,
+        steady_state_bottom_discard=0.5,
+        selection="greedy" if args.greedy else "steady_state",
+    )
+    ga = ParallelGA(pop0, fitness, cfg, fold_ids=fold_ids)
+    ga.num_generation = args.start_generation
+
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    writer = MetricsWriter("runs")
+
+    test_fitness = make_population_fitness(
+        net, unravel, test, opts, loss_relative=args.loss_relative_measure
+    ) if args.compute_test_loss else None
+
+    def report():
+        best, fit, _ = ga.best_solution()
+        gen = ga.num_generation
+        train_loss = 1.0 / fit
+        if test_fitness is not None:
+            t_fit = float(test_fitness(jnp.asarray(best)[None, :], gen)[0])
+            test_loss = 1.0 / t_fit
+        else:
+            test_loss = train_loss
+        print(f"Generation = {gen}")
+        print(f"Train Loss = {train_loss:.6f}")
+        print(f"Test Loss = {test_loss:.6f}")
+        writer.add_scalars("Loss/Train", {"ML": train_loss, "Lloyd": 1.0}, gen)
+        writer.add_scalars("Loss/Test", {"ML": test_loss, "Lloyd": 1.0}, gen)
+        writer.add_scalars(
+            "PopulationFitness",
+            {str(i): float(f) for i, f in enumerate(np.sort(np.asarray(ga.fitness)))},
+            gen,
+        )
+        save_checkpoint(
+            os.path.join(args.checkpoint_dir, f"model_{gen:03}.ckpt"),
+            generation=gen,
+            best_params=unravel(jnp.asarray(best)),
+            population=ga.population,
+            fitness=ga.fitness,
+            key=ga.key,
+        )
+
+    report()
+    for _ in range(args.max_generations):
+        with Profiler("generation"):
+            if args.batched:
+                ga.stochastic_iteration()
+            else:
+                ga.iteration()
+        report()
+    Profiler.print_tree()
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""GA training driver: dataset fitness as jitted population programs.
+
+Role of utils/train_dataset.py's training loop, re-architected: instead of
+pickling weight vectors to workers that each re-run model.forward per grid
+(reference train_dataset.py:120-138), the fitness of the *whole population*
+on one grid is a single jitted ``vmap`` over parameter vectors — model
+forward, Bellman-Ford, RAP, two-level solve and convergence factor all
+fused into one XLA program per grid bucket — optionally shard_mapped over a
+device mesh's ``pop`` axis (mlamg_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.ops.sparse import CSR
+from mlamg_tpu.mg.cycle import twolevel_solve
+from mlamg_tpu.mg.interp import sa_interpolation_dense
+from mlamg_tpu.graph.lloyd import lloyd_aggregation
+from mlamg_tpu.graph.strength import strength_measure
+from mlamg_tpu.data.grid import Grid
+
+
+@dataclasses.dataclass
+class SolveOptions:
+    res_tol: float = 1e-6
+    max_iter: int = 300
+    pre_smooth: int = 1
+    post_smooth: int = 1
+    jacobi_weight: float = 0.666
+    singular: bool = False
+
+
+@dataclasses.dataclass
+class GridBundle:
+    """Device-resident problem prepared for training."""
+
+    A: CSR
+    k: int
+    x0: jax.Array
+    width: int
+    ref_conv: float = 1.0
+
+    @staticmethod
+    def from_grid(g: Grid, alpha: float, dtype=jnp.float32) -> "GridBundle":
+        A = g.A.tocsr()
+        n = A.shape[0]
+        k = max(1, int(np.ceil(alpha * n)))
+        Ac = CSR.from_scipy(A, dtype=dtype)
+        x0 = np.random.RandomState(0).randn(n)
+        x0 /= np.linalg.norm(x0)
+        width = int(np.diff(A.indptr).max())
+        return GridBundle(Ac, k, jnp.asarray(x0, dtype), width)
+
+
+def measured_conv(A: CSR, P, x0, opts: SolveOptions):
+    """Convergence factor of the two-level cycle (b = 0, reference
+    evaluate_dataset semantics, utils/common.py:40-82)."""
+    n = A.shape[0]
+    b = jnp.zeros(n, A.data.dtype)
+    _, conv, _, _ = twolevel_solve(
+        A,
+        P,
+        b,
+        x0,
+        pre_smoothing_steps=opts.pre_smooth,
+        post_smoothing_steps=opts.post_smooth,
+        jacobi_weight=opts.jacobi_weight,
+        res_tol=opts.res_tol if not opts.singular else None,
+        error_tol=opts.res_tol if opts.singular else None,
+        max_iter=opts.max_iter,
+        singular=opts.singular,
+    )
+    return jnp.where(jnp.isnan(conv), 1.0, conv)
+
+
+def lloyd_reference_conv(
+    bundle: GridBundle, strength_kind: str = "abs", opts: SolveOptions | None = None,
+    key=None,
+) -> float:
+    """Lloyd + Jacobi-SA benchmark convergence factor
+    (role of utils/common.py:84-111)."""
+    opts = opts or SolveOptions()
+    A = bundle.A
+    C = strength_measure(A, strength_kind, width=bundle.width)
+    n = A.shape[0]
+    agg_id, roots, _ = lloyd_aggregation(
+        C, ratio=bundle.k / n, key=key if key is not None else jax.random.PRNGKey(0)
+    )
+    P = sa_interpolation_dense(A, agg_id, bundle.k)
+    return float(measured_conv(A, P, bundle.x0, opts))
+
+
+def random_reference_conv(bundle: GridBundle, key=None, opts: SolveOptions | None = None) -> float:
+    """'Dumb' baseline: random seeds, unit-distance BF aggregation + SA
+    (role of the random baseline in utils/evaluate_dataset.py:122-141)."""
+    from mlamg_tpu.graph.bellman_ford import bellman_ford, nearest_center_to_agg
+
+    opts = opts or SolveOptions()
+    A = bundle.A
+    n = A.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(42)
+    centers = jax.random.permutation(key, n)[: bundle.k].astype(jnp.int32)
+    unit = A.with_data(jnp.where(A.mask, 1.0, 0.0))
+    _, nearest = bellman_ford(unit, centers)
+    agg_id = nearest_center_to_agg(centers, nearest)
+    P = sa_interpolation_dense(A, agg_id, bundle.k)
+    return float(measured_conv(A, P, bundle.x0, opts))
+
+
+def make_population_fitness(
+    net,
+    unravel: Callable,
+    bundles: Sequence[GridBundle],
+    opts: SolveOptions | None = None,
+    loss_relative: bool = True,
+    mesh=None,
+    batch_size: int | None = None,
+):
+    """Build fitness_func(population (M, W), generation) -> (M,) fitness.
+
+    fitness = 1 / mean_over_grids(conv / ref_conv)     (train_dataset.py:134-138)
+
+    Each grid gets one compiled program: vmap over the population of
+    (unravel -> model forward -> P -> two-level conv).  With ``mesh``, the
+    vmapped program is shard_mapped over the 'pop' axis.
+    """
+    opts = opts or SolveOptions()
+
+    evaluators = []
+    for b in bundles:
+        def conv_one(vec, b=b):
+            params = unravel(vec)
+            _, P, _, _, _ = net.apply(params, b.A, b.k)
+            return measured_conv(b.A, P, b.x0, opts)
+
+        f = jax.vmap(conv_one)
+        if mesh is not None:
+            from mlamg_tpu.parallel import shard_population_eval
+
+            f = shard_population_eval(f, mesh)
+        else:
+            f = jax.jit(f)
+        evaluators.append(f)
+
+    ref = jnp.asarray([b.ref_conv for b in bundles])
+
+    def fitness_func(population, generation):
+        if batch_size is not None and batch_size < len(bundles):
+            rng = np.random.RandomState(generation)
+            batch = rng.choice(len(bundles), size=batch_size, replace=False)
+        else:
+            batch = np.arange(len(bundles))
+        # pad the population to a power of two so partial-population
+        # evaluations reuse at most log2(P) compiled programs
+        M = population.shape[0]
+        Mp = 1 << (M - 1).bit_length()
+        if Mp != M:
+            population = jnp.concatenate(
+                [population, jnp.repeat(population[-1:], Mp - M, axis=0)]
+            )
+        convs = jnp.stack([evaluators[i](population) for i in batch], axis=1)[:M]
+        convs = jnp.where(jnp.isnan(convs), 1.0, convs)
+        if loss_relative:
+            rel = convs / ref[jnp.asarray(batch)][None, :]
+        else:
+            rel = convs
+        return 1.0 / jnp.maximum(jnp.mean(rel, axis=1), 1e-9)
+
+    return fitness_func
+
+
+def evaluate_model_on_bundles(net, params, bundles, opts: SolveOptions | None = None):
+    """Per-grid conv factors for a single parameter set."""
+    opts = opts or SolveOptions()
+    out = []
+    for b in bundles:
+        _, P, _, _, _ = net.apply(params, b.A, b.k)
+        out.append(float(measured_conv(b.A, P, b.x0, opts)))
+    return np.asarray(out)
