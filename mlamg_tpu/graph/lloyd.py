@@ -97,6 +97,22 @@ def _bf_from_mask(C, source_mask: jax.Array, max_iter: int | None = None):
     return dist, None
 
 
+@partial(jax.jit, static_argnames=("maxiter",))
+def _lloyd_core(C, seeds, maxiter: int):
+    n = C.shape[0]
+
+    def body(_, carry):
+        seeds, _ = carry
+        return lloyd_iteration(C, seeds)
+
+    seeds, _ = jax.lax.fori_loop(
+        0, maxiter, body, (seeds, jnp.zeros((n,), jnp.int32))
+    )
+    _, nearest = bellman_ford(C, seeds)
+    agg_id = nearest_center_to_agg(seeds, nearest)
+    return agg_id, seeds
+
+
 def lloyd_aggregation(C, ratio: float = 0.03, maxiter: int = 10, seeds=None, key=None):
     """Aggregate nodes by Lloyd clustering on the weighted graph ``C``.
 
@@ -119,15 +135,5 @@ def lloyd_aggregation(C, ratio: float = 0.03, maxiter: int = 10, seeds=None, key
         seeds = jnp.asarray(seeds, jnp.int32)
         k = int(seeds.shape[0])
     seeds0 = seeds
-
-    def body(_, carry):
-        seeds, _ = carry
-        return lloyd_iteration(C, seeds)
-
-    seeds, agg_id = jax.lax.fori_loop(
-        0, maxiter, body, (seeds, jnp.zeros((n,), jnp.int32))
-    )
-    # Final assignment from the final seeds.
-    _, nearest = bellman_ford(C, seeds)
-    agg_id = nearest_center_to_agg(seeds, nearest)
+    agg_id, seeds = _lloyd_core(C, seeds, maxiter)
     return agg_id, seeds, seeds0

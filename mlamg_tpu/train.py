@@ -79,6 +79,32 @@ def measured_conv(A: CSR, P, x0, opts: SolveOptions):
     return jnp.where(jnp.isnan(conv), 1.0, conv)
 
 
+from functools import partial
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "strength_kind", "width", "opts_key", "lloyd_maxiter"),
+)
+def _lloyd_ref_core(A, x0, seeds, k, strength_kind, width, opts_key, lloyd_maxiter):
+    """One fused XLA program: strength -> Lloyd -> SA -> two-level conv.
+
+    Keeping the whole benchmark inside a single jit matters doubly on TPU:
+    the loops fuse, and (with a network-attached chip) there is exactly one
+    dispatch instead of thousands."""
+    from mlamg_tpu.graph.lloyd import _lloyd_core
+
+    opts = SolveOptions(*opts_key)
+    C = strength_measure(A, strength_kind, width=width)
+    agg_id, _ = _lloyd_core(C, seeds, lloyd_maxiter)
+    P = sa_interpolation_dense(A, agg_id, k)
+    return measured_conv(A, P, x0, opts)
+
+
+def _opts_key(opts: SolveOptions):
+    return tuple(getattr(opts, f.name) for f in dataclasses.fields(SolveOptions))
+
+
 def lloyd_reference_conv(
     bundle: GridBundle, strength_kind: str = "abs", opts: SolveOptions | None = None,
     key=None,
@@ -87,31 +113,39 @@ def lloyd_reference_conv(
     (role of utils/common.py:84-111)."""
     opts = opts or SolveOptions()
     A = bundle.A
-    C = strength_measure(A, strength_kind, width=bundle.width)
     n = A.shape[0]
-    agg_id, roots, _ = lloyd_aggregation(
-        C, ratio=bundle.k / n, key=key if key is not None else jax.random.PRNGKey(0)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    seeds = jax.random.permutation(key, n)[: bundle.k].astype(jnp.int32)
+    return float(
+        _lloyd_ref_core(
+            A, bundle.x0, seeds, bundle.k, strength_kind, bundle.width,
+            _opts_key(opts), 10,
+        )
     )
-    P = sa_interpolation_dense(A, agg_id, bundle.k)
-    return float(measured_conv(A, P, bundle.x0, opts))
+
+
+@partial(jax.jit, static_argnames=("k", "opts_key"))
+def _random_ref_core(A, x0, centers, k, opts_key):
+    from mlamg_tpu.graph.bellman_ford import bellman_ford, nearest_center_to_agg
+
+    opts = SolveOptions(*opts_key)
+    unit = A.with_data(jnp.where(A.mask, 1.0, 0.0))
+    _, nearest = bellman_ford(unit, centers)
+    agg_id = nearest_center_to_agg(centers, nearest)
+    P = sa_interpolation_dense(A, agg_id, k)
+    return measured_conv(A, P, x0, opts)
 
 
 def random_reference_conv(bundle: GridBundle, key=None, opts: SolveOptions | None = None) -> float:
     """'Dumb' baseline: random seeds, unit-distance BF aggregation + SA
     (role of the random baseline in utils/evaluate_dataset.py:122-141)."""
-    from mlamg_tpu.graph.bellman_ford import bellman_ford, nearest_center_to_agg
-
     opts = opts or SolveOptions()
     A = bundle.A
     n = A.shape[0]
     if key is None:
         key = jax.random.PRNGKey(42)
     centers = jax.random.permutation(key, n)[: bundle.k].astype(jnp.int32)
-    unit = A.with_data(jnp.where(A.mask, 1.0, 0.0))
-    _, nearest = bellman_ford(unit, centers)
-    agg_id = nearest_center_to_agg(centers, nearest)
-    P = sa_interpolation_dense(A, agg_id, bundle.k)
-    return float(measured_conv(A, P, bundle.x0, opts))
+    return float(_random_ref_core(A, bundle.x0, centers, bundle.k, _opts_key(opts)))
 
 
 def make_population_fitness(
@@ -177,10 +211,14 @@ def make_population_fitness(
 
 
 def evaluate_model_on_bundles(net, params, bundles, opts: SolveOptions | None = None):
-    """Per-grid conv factors for a single parameter set."""
+    """Per-grid conv factors for a single parameter set (one jit per grid)."""
     opts = opts or SolveOptions()
     out = []
     for b in bundles:
-        _, P, _, _, _ = net.apply(params, b.A, b.k)
-        out.append(float(measured_conv(b.A, P, b.x0, opts)))
+        @partial(jax.jit, static_argnames=("k",))
+        def one(params, A, x0, k, b=b):
+            _, P, _, _, _ = net.apply(params, A, k)
+            return measured_conv(A, P, x0, opts)
+
+        out.append(float(one(params, b.A, b.x0, k=b.k)))
     return np.asarray(out)
