@@ -3,25 +3,31 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline is achieved-fraction-of-roofline divided by the 0.80 target from
-BASELINE.json (>= 1.0 means the target is met).  The roofline model counts
-compulsory HBM traffic for an f32 ELL SpMV: values + column ids (8 B/nnz)
-plus one read and one write of the vector (8 B/row); x-gather traffic is
-assumed cached (power-of-two problem, banded access).
+Methodology notes (they matter on a network-attached chip):
+- the SpMV is iterated *inside one jitted ``fori_loop``* and timed by the
+  slope between two iteration counts, with a scalar readback — per-call
+  host-loop timing on this platform measures dispatch, not execution;
+- the matrix is a 4096^2 five-point Poisson operator (n = 16.8M,
+  nnz = 83.9M) stored in DIA form — the TPU-native stencil layout where
+  SpMV is static shifted fused multiply-adds with no gather. The working
+  set (~470 MB) exceeds VMEM, so the measurement is HBM-bound;
+- roofline model: one streaming pass reads D=5 diagonals + x and writes y
+  => (D + 2) * 4 bytes per row = 5.6 bytes/nnz; target is 80% of that
+  (BASELINE.json). vs_baseline = achieved_fraction / 0.80.
 """
 
 from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
 
 HBM_GBPS = {
-    # chip generation -> approximate peak HBM bandwidth (GB/s)
     "v5 lite": 819.0,  # TPU v5e
-    "v5": 1638.0,      # v5p
+    "v5": 2765.0,      # v5p
     "v4": 1228.0,
     "v6": 1640.0,      # v6e
 }
@@ -39,35 +45,63 @@ def main():
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
-    from mlamg_tpu.ops import ELL, spmv
+    from mlamg_tpu.ops import DIA
+    from mlamg_tpu.ops.dia import dia_spmv
+    from mlamg_tpu.ops.pallas_kernels import dia_spmv_pallas
 
     dev = jax.devices()[0]
     bw = detect_bw(dev)
+    on_tpu = "tpu" in getattr(dev, "device_kind", "").lower() or "TPU" in str(dev)
 
-    nx = 2048
+    nx = 4096
     I = sp.eye(nx, format="csr", dtype=np.float32)
     T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx), dtype=np.float32)
     A = (sp.kron(I, T) + sp.kron(T, I)).tocsr()
     n = A.shape[0]
     nnz = A.nnz
+    Ad = DIA.from_scipy(A)
+    D = len(Ad.offsets)
 
-    Ae = ELL.from_scipy(A)
+    def make_chain(kernel_name):
+        @partial(jax.jit, static_argnames=("k",))
+        def chain(data, x, k):
+            Ak = DIA(data, Ad.offsets, Ad.shape)
+
+            def body(i, v):
+                if kernel_name == "pallas":
+                    w = dia_spmv_pallas(Ak, v)
+                else:
+                    w = dia_spmv(Ak, v)
+                # cheap rescale keeps the iterate finite
+                return w * 1e-6
+
+            return jnp.sum(jax.lax.fori_loop(0, k, body, x))
+
+        return chain
+
     x = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
 
-    f = jax.jit(spmv)
-    y = f(Ae, x)
-    y.block_until_ready()
+    def measure(kernel_name):
+        chain = make_chain(kernel_name)
 
-    iters = 200
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = f(Ae, y / jnp.linalg.norm(y))
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    # the normalize adds ~2 vector passes; subtract nothing, stay conservative
+        def timed(k):
+            float(chain(Ad.data, x, k))  # warm compile on first call
+            t0 = time.perf_counter()
+            float(chain(Ad.data, x, k))
+            return time.perf_counter() - t0
+
+        k_lo, k_hi = 10, 60
+        return (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+
+    kernel_used = "pallas" if on_tpu else "xla"
+    try:
+        dt = measure(kernel_used)
+    except Exception:
+        kernel_used = "xla"
+        dt = measure(kernel_used)
 
     nnz_per_s = nnz / dt
-    bytes_per_it = 8 * Ae.data.size + 8 * n  # vals+cols + x read + y write
+    bytes_per_it = 4 * (D * n + 2 * n)  # diagonals + x read + y write
     achieved_gbps = bytes_per_it / dt / 1e9
     frac = achieved_gbps / bw
     target = 0.80
@@ -81,6 +115,8 @@ def main():
                 "vs_baseline": round(frac / target, 4),
                 "detail": {
                     "device": str(dev),
+                    "kernel": kernel_used,
+                    "format": "DIA(5-pt Poisson)",
                     "n": n,
                     "nnz": nnz,
                     "spmv_us": round(dt * 1e6, 2),

@@ -30,6 +30,12 @@ import jax.numpy as jnp
 from mlamg_tpu.ops.sparse import COO, CSR, ELL
 
 
+def _is_dia(A):
+    from mlamg_tpu.ops.dia import DIA
+
+    return isinstance(A, DIA)
+
+
 # ---------------------------------------------------------------------------
 # SpMV / SpMM
 # ---------------------------------------------------------------------------
@@ -39,6 +45,10 @@ def spmv(A, x: jax.Array) -> jax.Array:
     """y = A @ x for CSR/COO/ELL (or dense) A and dense (n,) x."""
     if isinstance(A, jax.Array):
         return A @ x
+    if _is_dia(A):
+        from mlamg_tpu.ops.dia import dia_spmv
+
+        return dia_spmv(A, x)
     if isinstance(A, ELL):
         return jnp.sum(A.data * x[A.col], axis=1)
     m, _ = A.shape
@@ -49,6 +59,10 @@ def spmv_t(A, x: jax.Array) -> jax.Array:
     """y = A.T @ x without materializing the transpose."""
     if isinstance(A, jax.Array):
         return A.T @ x
+    if _is_dia(A):
+        from mlamg_tpu.ops.dia import dia_spmv_t
+
+        return dia_spmv_t(A, x)
     _, n = A.shape
     if isinstance(A, ELL):
         m = A.shape[0]
@@ -63,6 +77,10 @@ def spmm(A, X: jax.Array) -> jax.Array:
     """Y = A @ X for sparse (or dense) A (m,n) and dense X (n,k)."""
     if isinstance(A, jax.Array):
         return A @ X
+    if _is_dia(A):
+        from mlamg_tpu.ops.dia import dia_spmm
+
+        return dia_spmm(A, X)
     if isinstance(A, ELL):
         # (m, w, k) gather then row-reduce; dense shapes throughout.
         return jnp.einsum("mw,mwk->mk", A.data, X[A.col])
@@ -240,7 +258,7 @@ def rap_dense(A, P) -> jax.Array:
     """
     if isinstance(P, (CSR, COO, ELL)):
         P = densify(P)
-    AP = spmm(A, P) if isinstance(A, (CSR, COO, ELL)) else A @ P
+    AP = spmm(A, P)  # dispatches over CSR/COO/ELL/DIA/dense
     return P.T @ AP
 
 
