@@ -27,3 +27,23 @@ def topk_mask(x: jax.Array, k: int) -> jax.Array:
     x = x.reshape(-1)
     idx = topk_indices(x, k)
     return jnp.zeros(x.shape, x.dtype).at[idx].set(1.0)
+
+
+def soft_topk_mask(x: jax.Array, k: int, sigma: float = 1.0) -> jax.Array:
+    """Differentiable top-k relaxation: sigmoid((x - t_k) / sigma) where t_k
+    is the midpoint between the k-th and (k+1)-th largest scores.
+
+    The continuous-relaxation experiment of the reference's diff_top_k demo
+    (demos/diff_top_k.py:115-122): as sigma -> 0 this approaches
+    :func:`topk_mask`; gradients flow to every score.  The threshold is
+    treated as locally constant (stop_gradient), giving the straight-through
+    style estimator the demo trains with.
+    """
+    x = x.reshape(-1)
+    vals, _ = jax.lax.top_k(x, min(k + 1, x.shape[0]))
+    if k < x.shape[0]:
+        thresh = (vals[k - 1] + vals[k]) / 2.0
+    else:
+        thresh = vals[-1] - 1.0
+    thresh = jax.lax.stop_gradient(thresh)
+    return jax.nn.sigmoid((x - thresh) / sigma)

@@ -72,7 +72,11 @@ def amg_loss(
         x = x + P_mul(e_H)
         for _ in range(no_postrelax):
             x = x - Dinv[:, None] * spmm(A, x)
-        x = x - jnp.mean(x, axis=0, keepdims=True)
+        if neumann_solve_fix:
+            # project out the constant nullspace (reference loss.py:89 does
+            # this unconditionally, which under-counts smooth error on
+            # Dirichlet problems; here it is tied to the Neumann fix)
+            x = x - jnp.mean(x, axis=0, keepdims=True)
         return x
 
     errs = []
