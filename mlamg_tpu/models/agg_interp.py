@@ -114,13 +114,18 @@ class AggNet(nn.Module):
     num_conv: int = 6
 
     @nn.compact
-    def __call__(self, g: GraphData, k: int):
+    def __call__(self, g: GraphData, k: int, return_intermediate: bool = False):
         x = g.x
         scores = None
+        masks = []
         for i in range(self.iterations):
             x, scores = AggBinarizationLayer(
                 self.dim, self.num_conv, name=f"layer_{i}"
             )(g, x, k)
+            masks.append(x[:, 0])
+        if return_intermediate:
+            # role of the reference's all_intermediate_topk (agg_interp.py:248-254)
+            return masks
         return x[:, 0], scores
 
 
