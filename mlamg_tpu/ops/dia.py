@@ -52,6 +52,13 @@ class DIA:
         A = sp.csr_matrix(A)
         n, m = A.shape
         assert n == m, "DIA requires square matrices"
+        if np.dtype(dtype) == np.float32:
+            # C++ extraction fast path (mlamg_tpu/native)
+            from mlamg_tpu import native
+
+            if native.available():
+                offs, data = native.csr_to_dia(A)
+                return DIA(jnp.asarray(data), tuple(int(o) for o in offs), (n, m))
         coo = A.tocoo()
         offs = np.unique(coo.col - coo.row)
         data = np.zeros((len(offs), n), dtype=np.dtype(dtype))

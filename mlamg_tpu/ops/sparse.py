@@ -342,6 +342,13 @@ class ELL:
         deg = np.diff(A.indptr)
         w = int(deg.max()) if width is None else int(width)
         assert w >= deg.max(), (w, deg.max())
+        if np.dtype(dtype) == np.float32:
+            # C++ packing fast path (mlamg_tpu/native)
+            from mlamg_tpu import native
+
+            if native.available():
+                data, col = native.csr_to_ell(A, w)
+                return ELL(jnp.asarray(data), jnp.asarray(col), (m, n))
         data = np.zeros((m, w), dtype=np.dtype(dtype))
         col = np.zeros((m, w), dtype=np.int32)
         # vectorized fill
