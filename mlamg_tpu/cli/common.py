@@ -60,6 +60,13 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--iterations", type=int, default=2)
     parser.add_argument("--mesh-pop", type=int, default=0,
                         help="shard population fitness over this many devices (0 = no mesh)")
+    parser.add_argument("--init-perturb", type=float, default=0.5,
+                        help="uniform perturbation when seeding the population")
+    parser.add_argument("--mutation-prob", type=float, default=1.0,
+                        help="per-fold mutation probability")
+    parser.add_argument("--mutation-perturb", type=float, default=0.5,
+                        help="uniform mutation magnitude")
+    parser.add_argument("--crossover-prob", type=float, default=0.0)
     parser.add_argument("--checkpoint-dir", type=str, default="models_chkpt")
     parser.add_argument("--float64", default=False, type=parse_bool_str)
     return parser

@@ -13,11 +13,13 @@ import numpy as np
 from mlamg_tpu.data import Grid, rotation_matrix_3d
 
 
-def gen_one(kind: str, rng: np.random.RandomState, target_dof: int) -> Grid:
+def gen_one(kind: str, rng: np.random.RandomState, target_dof: int,
+            eps_log_range=(-4.0, 0.0)) -> Grid:
+    lo, hi = eps_log_range
     if kind == "isotropic":
         return Grid.random_2d_unstructured(target_dof, seed=rng.randint(1 << 31))
     if kind == "anisotropic":
-        eps = 10.0 ** rng.uniform(-4, 0)
+        eps = 10.0 ** rng.uniform(lo, hi)
         theta = rng.uniform(0, 2 * np.pi)
         return Grid.random_2d_unstructured(
             target_dof, epsilon=eps, theta=theta, seed=rng.randint(1 << 31)
@@ -31,7 +33,7 @@ def gen_one(kind: str, rng: np.random.RandomState, target_dof: int) -> Grid:
         return Grid.structured_2d_poisson_dirichlet_jumps(side, side, jumps)
     if kind == "structured":
         side = int(np.sqrt(target_dof))
-        eps = 10.0 ** rng.uniform(-4, 0)
+        eps = 10.0 ** rng.uniform(lo, hi)
         theta = rng.uniform(0, 2 * np.pi)
         return Grid.structured_2d_poisson_dirichlet(side, side, eps, theta)
     if kind == "3d":
@@ -50,6 +52,8 @@ def main(argv=None):
                    choices=["isotropic", "anisotropic", "jump", "structured", "3d"])
     p.add_argument("--dof", type=int, default=300, help="approximate unknowns per grid")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eps-log-min", type=float, default=-4.0)
+    p.add_argument("--eps-log-max", type=float, default=0.0)
     p.add_argument("--split", type=float, default=0.0,
                    help="if >0, write train/ and test/ subdirs with this test fraction")
     args = p.parse_args(argv)
@@ -64,7 +68,8 @@ def main(argv=None):
         d = os.path.join(args.out_dir, sub) if sub else args.out_dir
         os.makedirs(d, exist_ok=True)
         for i in range(count):
-            g = gen_one(args.type, rng, args.dof)
+            g = gen_one(args.type, rng, args.dof,
+                        eps_log_range=(args.eps_log_min, args.eps_log_max))
             g.save(os.path.join(d, f"{args.type}_{i:04d}"))
             if (i + 1) % 20 == 0:
                 print(f"{d}: {i + 1}/{count}")

@@ -68,12 +68,14 @@ def main(argv=None):
         batch_size=args.batch_size if args.batched else None,
     )
 
-    pop0 = init_population(jax.random.PRNGKey(1), vec, args.population_size, perturb=0.5)
+    pop0 = init_population(
+        jax.random.PRNGKey(1), vec, args.population_size, perturb=args.init_perturb
+    )
     cfg = GAConfig(
-        crossover_probability=0.0,
-        mutation_probability=1.0,
-        mutation_min_perturb=-0.5,
-        mutation_max_perturb=0.5,
+        crossover_probability=args.crossover_prob,
+        mutation_probability=args.mutation_prob,
+        mutation_min_perturb=-args.mutation_perturb,
+        mutation_max_perturb=args.mutation_perturb,
         steady_state_top_use=0.5,
         steady_state_bottom_discard=0.5,
         selection="greedy" if args.greedy else "steady_state",

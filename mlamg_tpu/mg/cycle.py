@@ -180,19 +180,22 @@ def build_hierarchy(
     strength_kind: str = "abs",
     width: int | None = None,
     key=None,
+    sparse_levels: int = 0,
 ) -> Hierarchy:
     """Aggregation-based setup: strength -> Lloyd -> SA-smoothed P -> RAP.
 
     Host-driven loop (setup phase); every produced operator is a device
     array / container, and the resulting hierarchy solve is fully jitted.
-    Coarse operators are kept dense from the first coarsening on — on TPU
-    the (k, k) dense level is both the fastest and the simplest correct
-    choice until k grows past a few thousand.
+    By default coarse operators are kept dense from the first coarsening on
+    — on TPU the (k, k) dense level is both the fastest and the simplest
+    correct choice until k grows past a few thousand.  For large problems,
+    ``sparse_levels`` keeps the first N coarse operators sparse, forming
+    them with the static-bound SpGEMM triple product instead of dense RAP.
     """
     import numpy as np
     from mlamg_tpu.graph.lloyd import lloyd_aggregation
     from mlamg_tpu.graph.strength import strength_measure
-    from mlamg_tpu.mg.interp import sa_interpolation_dense
+    from mlamg_tpu.mg.interp import sa_interpolation_dense, smoothed_aggregation
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -207,11 +210,11 @@ def build_hierarchy(
             break
         k = int(np.ceil(alpha * n))
         if isinstance(level_A, CSR):
-            C = strength_measure(level_A, strength_kind, width=width)
+            lvl_width = int(np.max(np.diff(np.asarray(level_A.indptr))))
+            C = strength_measure(level_A, strength_kind, width=lvl_width)
             d = level_A.diagonal()
         else:
             # dense level: aggregate on the dense adjacency converted to CSR
-            nnz_pad = int(np.count_nonzero(np.asarray(level_A)))
             import scipy.sparse as sp
 
             C = strength_measure(
@@ -226,9 +229,20 @@ def build_hierarchy(
         agg_id, roots, _ = lloyd_aggregation(C, ratio=alpha, key=sub)
         Dinv = 1.0 / jnp.where(d != 0, d, 1.0)
         Dinvs.append(Dinv)
-        P = sa_interpolation_dense(level_A, agg_id, k)
+        if lvl < sparse_levels and isinstance(level_A, CSR):
+            # sparse Galerkin product with host-computed static bounds
+            P = smoothed_aggregation(level_A, agg_id, k)
+            p_width = lvl_width  # P shares A's pattern with remapped columns
+            nnz_ap = level_A.nnz_pad * p_width
+            nnz_out = min(nnz_ap * lvl_width, 4 * nnz_ap)
+            A_next = matmul.rap(
+                level_A, P, nnz_ap=nnz_ap, nnz_out=nnz_out,
+                a_width=lvl_width, p_width=p_width,
+            )
+        else:
+            P = sa_interpolation_dense(level_A, agg_id, k)
+            A_next = matmul.rap_dense(level_A, P)
         Ps.append(P)
-        A_next = matmul.rap_dense(level_A, P)
         As.append(A_next)
         level_A = A_next
 

@@ -260,6 +260,20 @@ class TestTwoLevel:
 
 
 class TestVCycle:
+    def test_sparse_hierarchy_solves_poisson2d(self, rng):
+        # first coarse level kept sparse (SpGEMM Galerkin product)
+        A = poisson2d(16)
+        n = A.shape[0]
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        w = int(np.diff(A.indptr).max())
+        h = build_hierarchy(Ac, alpha=0.15, max_levels=3, min_coarse=8, width=w,
+                            sparse_levels=1)
+        assert isinstance(h.As[1], CSR)  # sparse coarse operator
+        x_star = rng.randn(n)
+        b = A @ x_star
+        x, conv, err, iters = vcycle_solve(h, jnp.asarray(b), jnp.zeros(n), res_tol=1e-8)
+        assert np.linalg.norm(np.asarray(x) - x_star) / np.linalg.norm(x_star) < 1e-6
+
     def test_hierarchy_solves_poisson2d(self, rng):
         A = poisson2d(16)
         n = A.shape[0]

@@ -222,6 +222,34 @@ class TestPartitionedSpMV:
         np.testing.assert_allclose(np.asarray(ys).ravel()[:n], np.asarray(ref), atol=1e-10)
 
 
+class TestPartitionedBF:
+    def test_matches_serial_bf(self, rng):
+        from mlamg_tpu.ops import CSR
+        from mlamg_tpu.graph import bellman_ford
+        from mlamg_tpu.parallel import pbf
+
+        mesh = make_mesh(pop=1, row=8)
+        n = 64
+        # banded symmetric positive-weight graph (pbf assumes symmetry)
+        w = rng.rand(n - 1) + 0.1
+        A = sp.diags([w, w], [-1, 1]).tocsr()
+        Ap = PartitionedELL.from_scipy(A, 8, halo=1, dtype=jnp.float64)
+        centers = np.array([5, 40], np.int32)
+        cmask = np.zeros(n, bool)
+        cmask[centers] = True
+        cm_sharded = jnp.asarray(cmask).reshape(8, 8)
+
+        dist, near = pbf(Ap, cm_sharded, mesh)
+        dist = np.asarray(dist).ravel()[:n]
+        near = np.asarray(near).ravel()[:n]
+
+        d_ref, n_ref = bellman_ford(
+            CSR.from_scipy(A, dtype=jnp.float64), jnp.asarray(centers)
+        )
+        np.testing.assert_allclose(dist, np.asarray(d_ref), atol=1e-10)
+        np.testing.assert_array_equal(near, np.asarray(n_ref))
+
+
 class TestOptimizers:
     def test_spsa_minimizes(self):
         f = lambda x: jnp.sum((x - 2.0) ** 2)
