@@ -136,8 +136,10 @@ class ParallelGA:
         off, carried, carried_fit = self._crossover_pairs(num, top, probs)
         worst = np.asarray(order[::-1][:n_discard])
         self.population = self.population.at[jnp.asarray(worst)].set(off[:n_discard])
-        self.fitness = self.fitness.at[jnp.asarray(worst)].set(carried_fit[:n_discard])
-        self.computed[worst] = np.asarray(carried[:n_discard])
+        # Replaced rows are always marked unknown (reference parga.py:188):
+        # with crossover off the offspring are parent copies, and leaving
+        # them "computed" would silently disable mutation -> a no-op GA.
+        self.computed[worst] = False
 
     def _selection_roulette(self):
         probs = self.fitness / jnp.maximum(jnp.sum(jnp.abs(self.fitness)), 1e-30)

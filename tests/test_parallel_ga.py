@@ -72,6 +72,28 @@ class TestGA:
         # monotone non-decreasing best fitness (elitism)
         assert all(b >= a - 1e-9 for a, b in zip(fits, fits[1:]))
 
+    def test_mutation_only_improves(self):
+        # regression: with crossover_probability = 0 the steady-state
+        # offspring are parent copies and MUST still be mutated (a bug once
+        # marked them computed, silently disabling mutation -> no-op GA)
+        target = jnp.asarray([1.5, -0.5])
+
+        def fitness(pop, gen):
+            return 1.0 / (jnp.sum((pop - target) ** 2, axis=1) + 1e-6)
+
+        pop0 = init_population(jax.random.PRNGKey(3), jnp.zeros(2), 16, perturb=0.5)
+        ga = ParallelGA(
+            pop0,
+            fitness,
+            GAConfig(crossover_probability=0.0, mutation_probability=0.8,
+                     mutation_min_perturb=-0.2, mutation_max_perturb=0.2,
+                     steady_state_top_use=0.5, steady_state_bottom_discard=0.5),
+        )
+        f0 = ga.best_solution()[1]
+        for _ in range(30):
+            ga.iteration()
+        assert ga.best_solution()[1] > f0 * 1.5
+
     def test_selection_variants(self):
         target = jnp.asarray([2.0, 2.0])
 
