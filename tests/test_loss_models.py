@@ -83,7 +83,9 @@ class TestAmgLoss:
 
         f = jax.jit(lambda P: amg_loss(P, Ac, tv))
         g = jax.jit(jax.grad(lambda P: amg_loss(P, Ac, tv)))
-        opt = optax.adam(1e-2)
+        # lr=1e-2 overshoots from this (already decent) SA starting point and
+        # can end above l0; 3e-3 descends monotonically on this problem.
+        opt = optax.adam(3e-3)
         state = opt.init(P)
         l0 = float(f(P))
         for _ in range(30):
