@@ -53,13 +53,17 @@ def main():
     bw = detect_bw(dev)
     on_tpu = "tpu" in getattr(dev, "device_kind", "").lower() or "TPU" in str(dev)
 
+    from mlamg_tpu.ops.pallas_kernels import blocked_dia
+
     nx = 4096
     I = sp.eye(nx, format="csr", dtype=np.float32)
     T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx), dtype=np.float32)
     A = (sp.kron(I, T) + sp.kron(T, I)).tocsr()
     n = A.shape[0]
     nnz = A.nnz
-    Ad = DIA.from_scipy(A)
+    # pre-blocked (D, n/128, 128) layout: one-time relayout, pure streaming
+    # in the solve loop (see pallas_kernels.py module docstring)
+    Ad = blocked_dia(DIA.from_scipy(A))
     D = len(Ad.offsets)
 
     def make_chain(kernel_name):

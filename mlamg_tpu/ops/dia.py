@@ -45,6 +45,15 @@ class DIA:
     def dtype(self):
         return self.data.dtype
 
+    @property
+    def data2d(self):
+        """(D, n) view of the diagonals; undoes the pre-blocked
+        (D, n/128, 128) layout of ``pallas_kernels.blocked_dia`` (relayout
+        copy — fine off the hot path)."""
+        if self.data.ndim == 3:
+            return self.data.reshape(len(self.offsets), self.shape[0])
+        return self.data
+
     @staticmethod
     def from_scipy(A, dtype=jnp.float32) -> "DIA":
         import scipy.sparse as sp
@@ -77,7 +86,7 @@ class DIA:
 
         n, _ = self.shape
         rows, cols, vals = [], [], []
-        data = np.asarray(self.data)
+        data = np.asarray(self.data2d)
         for d, off in enumerate(self.offsets):
             lo = max(0, -off)
             hi = min(n, n - off)
@@ -95,7 +104,7 @@ class DIA:
 
     def diagonal(self) -> jax.Array:
         if 0 in self.offsets:
-            return self.data[self.offsets.index(0)]
+            return self.data2d[self.offsets.index(0)]
         return jnp.zeros((self.shape[0],), self.data.dtype)
 
 
@@ -107,13 +116,14 @@ def dia_spmv(A: DIA, x: jax.Array) -> jax.Array:
     dynamic_slice the fusion breaks and this runs ~40x slower.)
     """
     n = A.shape[0]
+    data = A.data2d
     max_neg = max((-o for o in A.offsets if o < 0), default=0)
     max_pos = max((o for o in A.offsets if o > 0), default=0)
     xp = jnp.pad(x, (max_neg, max_pos))
     y = None
     for d, off in enumerate(A.offsets):
         xs = xp[max_neg + off : max_neg + off + n]
-        y = A.data[d] * xs if y is None else y + A.data[d] * xs
+        y = data[d] * xs if y is None else y + data[d] * xs
     return y if y is not None else jnp.zeros_like(x)
 
 
@@ -126,7 +136,7 @@ def dia_spmv_t(A: DIA, x: jax.Array) -> jax.Array:
     # (A^T)[i, i - off] diag: value A[i+?]... use: y[j] = sum_i A[i,j] x[i]
     # column j receives from row j - off on diagonal off: val data[d, j-off]
     xp = jnp.pad(x, (max_pos, max_neg))
-    dp = jnp.pad(A.data, ((0, 0), (max_pos, max_neg)))
+    dp = jnp.pad(A.data2d, ((0, 0), (max_pos, max_neg)))
     y = jnp.zeros_like(x)
     for d, off in enumerate(A.offsets):
         # shift both the diagonal values and x by -off (static slices)
@@ -142,10 +152,11 @@ def dia_spmm(A: DIA, X: jax.Array) -> jax.Array:
     max_neg = max((-o for o in A.offsets if o < 0), default=0)
     max_pos = max((o for o in A.offsets if o > 0), default=0)
     Xp = jnp.pad(X, ((max_neg, max_pos), (0, 0)))
+    data = A.data2d
     Y = jnp.zeros_like(X)
     for d, off in enumerate(A.offsets):
         Xs = Xp[max_neg + off : max_neg + off + n, :]
-        Y = Y + A.data[d][:, None] * Xs
+        Y = Y + data[d][:, None] * Xs
     return Y
 
 

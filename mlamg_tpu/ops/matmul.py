@@ -48,6 +48,12 @@ def spmv(A, x: jax.Array) -> jax.Array:
     if _is_dia(A):
         from mlamg_tpu.ops.dia import dia_spmv
 
+        if A.data.ndim == 3 and jax.default_backend() == "tpu":
+            # pre-blocked layout (pallas_kernels.blocked_dia): production
+            # TPU path — pure streaming, no per-call relayout
+            from mlamg_tpu.ops.pallas_kernels import dia_spmv_pallas
+
+            return dia_spmv_pallas(A, x)
         return dia_spmv(A, x)
     if isinstance(A, ELL):
         return jnp.sum(A.data * x[A.col], axis=1)

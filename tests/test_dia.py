@@ -105,3 +105,41 @@ class TestPallasDIA:
         x = rng.randn(1024).astype(np.float32)
         y = dia_spmv_pallas(Ad, jnp.asarray(x), block_rows=256, interpret=True)
         np.testing.assert_allclose(np.asarray(y), (A @ x).astype(np.float32), rtol=1e-5)
+
+    def test_kernel_clamped_window_interpret(self, rng):
+        # large-n path: no x pad; clamped window + guard rows must stay exact
+        # at the first/last blocks where the window clamp shifts indices
+        n = 128 * 64
+        A = random_banded(rng, n, [-130, -128, -1, 0, 1, 127, 256]).astype(np.float32)
+        Ad = DIA.from_scipy(A, dtype=jnp.float32)
+        x = rng.randn(n).astype(np.float32)
+        y = dia_spmv_pallas(Ad, jnp.asarray(x), block_rows=2048, interpret=True)
+        ref = (A @ x).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=1e-4)
+
+    def test_blocked_dia_matches(self, rng):
+        from mlamg_tpu.ops.pallas_kernels import blocked_dia
+
+        A = poisson2d(32, dtype=np.float32)
+        Ad = blocked_dia(DIA.from_scipy(A, dtype=jnp.float32))
+        assert Ad.data.ndim == 3
+        x = rng.randn(1024).astype(np.float32)
+        y = dia_spmv_pallas(Ad, jnp.asarray(x), block_rows=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), (A @ x).astype(np.float32), rtol=1e-5)
+
+    def test_blocked_dia_all_ops_normalize_layout(self, rng):
+        # blocked (D, n/128, 128) DIA must stay correct through every DIA op
+        from mlamg_tpu.ops.pallas_kernels import blocked_dia
+
+        A = poisson2d(16, dtype=np.float32)  # n = 256
+        Ab = blocked_dia(DIA.from_scipy(A, dtype=jnp.float32))
+        x = rng.randn(256).astype(np.float32)
+        X = rng.randn(256, 3).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(spmv(Ab, jnp.asarray(x))), A @ x, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(spmv_t(Ab, jnp.asarray(x))), A.T @ x, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(spmm(Ab, jnp.asarray(X))), A @ X, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(Ab.diagonal()), A.diagonal(), rtol=1e-6)
+        assert abs(Ab.to_scipy() - A).max() < 1e-6
