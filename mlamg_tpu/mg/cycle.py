@@ -66,12 +66,22 @@ def twolevel_solve(
     smoother: str = "jacobi",
     smoother_args: dict | None = None,
     coarse: CoarseSolver | None = None,
+    fused_jacobi: bool | None = None,
 ):
     """Two-level AMG solve; returns (x, conv_factor, err_history, iters).
 
     ``err_history`` is a fixed (max_iter,) buffer; entries past ``iters``
     are zero (static shapes under jit).
+
+    ``fused_jacobi`` rewrites each Jacobi sweep as the affine map
+    x' = (I - w D^-1 A) x + w D^-1 b, precomputed once per solve — on TPU
+    with a blocked DIA operator every sweep is then one fused Pallas pass
+    (see ops.pallas_kernels).  Default: auto (on exactly in that regime);
+    mathematically identical, but rounding differs slightly from the
+    unfused form.
     """
+    from mlamg_tpu.ops.dia import DIA, dia_jacobi_operator
+
     if res_tol is None and error_tol is None:
         raise RuntimeError("One of res_tol or error_tol must be set!")
     tol = res_tol if res_tol is not None else error_tol
@@ -85,9 +95,24 @@ def twolevel_solve(
 
     smoother_args = smoother_args or {}
 
+    if fused_jacobi is None:
+        fused_jacobi = (
+            isinstance(A, DIA)
+            and A.data.ndim == 3
+            and jax.default_backend() == "tpu"
+        )
+    M_fused = None
+    if fused_jacobi and smoother == "jacobi" and isinstance(A, DIA):
+        M_fused = dia_jacobi_operator(A, Dinv, jacobi_weight)
+        c_fused = jacobi_weight * Dinv * b
+
     def smooth(x, b, nu):
         if nu == 0:
             return x
+        if M_fused is not None:
+            return jax.lax.fori_loop(
+                0, nu, lambda _, v: matmul.spmv_affine(M_fused, v, c=c_fused), x
+            )
         if smoother == "jacobi":
             return jacobi(A, b, x, Dinv, omega=jacobi_weight, nu=nu)
         if smoother == "chebyshev":
@@ -107,13 +132,17 @@ def twolevel_solve(
     def body(state):
         x, err, i, _ = state
         x = smooth(x, b, pre_smoothing_steps)
-        r = b - matmul.spmv(A, x)
+        r = matmul.spmv_affine(A, x, c=b, alpha=-1.0)  # b - A x, fused
         e_H = coarse.solve(_restrict(P, r))
         x = x + _interp(P, e_H)
         x = smooth(x, b, post_smoothing_steps)
         if singular:
             x = x - jnp.mean(x)
-        e = jnp.linalg.norm(b - matmul.spmv(A, x)) if use_res else jnp.linalg.norm(x)
+        e = (
+            jnp.linalg.norm(matmul.spmv_affine(A, x, c=b, alpha=-1.0))
+            if use_res
+            else jnp.linalg.norm(x)
+        )
         err = err.at[i].set(e)
         return x, err, i + 1, e <= tol
 

@@ -160,6 +160,28 @@ def dia_spmm(A: DIA, X: jax.Array) -> jax.Array:
     return Y
 
 
+def dia_jacobi_operator(A: DIA, Dinv: jax.Array, omega: float) -> DIA | None:
+    """M = I - omega * diag(Dinv) @ A as a DIA sharing A's offsets.
+
+    One weighted-Jacobi sweep is then the affine map x' = M x + c with
+    c = omega * Dinv * b — a single fused pass through
+    ``pallas_kernels.dia_spmv_pallas(M, x, c=c)``.  Returns ``None`` when
+    the main diagonal is not stored (cannot add I in place).  Preserves
+    A's (blocked or flat) data layout.
+    """
+    if 0 not in A.offsets:
+        return None
+    d_idx = A.offsets.index(0)
+    if A.data.ndim == 3:
+        scale = Dinv.reshape(A.data.shape[1], A.data.shape[2])
+        data = -omega * scale[None, :, :] * A.data
+        data = data.at[d_idx].add(1.0)
+    else:
+        data = -omega * Dinv[None, :] * A.data
+        data = data.at[d_idx].add(1.0)
+    return DIA(data, A.offsets, A.shape)
+
+
 def auto_format(A_scipy, max_diagonals: int = 32, dtype=jnp.float32):
     """Pick the fastest container for this matrix's structure:
     DIA for few-diagonal (stencil) matrices, ELL otherwise."""

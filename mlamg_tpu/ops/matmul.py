@@ -61,6 +61,24 @@ def spmv(A, x: jax.Array) -> jax.Array:
     return jax.ops.segment_sum(A.data * x[A.col], A.row, num_segments=m)
 
 
+def spmv_affine(A, x: jax.Array, c: jax.Array | None = None, alpha: float = 1.0):
+    """y = alpha * (A @ x) + c, fused into one pass where possible.
+
+    On TPU with a pre-blocked DIA operand this is a single streaming Pallas
+    kernel — the fine-level cost of a Jacobi sweep (x' = M x + c) or a
+    residual (r = b - A x via alpha=-1, c=b) collapses to one SpMV.
+    Everywhere else XLA fuses the scale/add into the SpMV epilogue.
+    """
+    if _is_dia(A) and A.data.ndim == 3 and jax.default_backend() == "tpu":
+        from mlamg_tpu.ops.pallas_kernels import dia_spmv_pallas
+
+        return dia_spmv_pallas(A, x, c=c, alpha=alpha)
+    y = spmv(A, x)
+    if alpha != 1.0:
+        y = alpha * y
+    return y if c is None else y + c
+
+
 def spmv_t(A, x: jax.Array) -> jax.Array:
     """y = A.T @ x without materializing the transpose."""
     if isinstance(A, jax.Array):

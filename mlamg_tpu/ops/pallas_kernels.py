@@ -58,11 +58,20 @@ def blocked_dia(A: DIA) -> DIA:
 
 
 def dia_spmv_pallas(
-    A: DIA, x: jax.Array, block_rows: int = 1 << 15, interpret: bool = False
+    A: DIA,
+    x: jax.Array,
+    c: jax.Array | None = None,
+    alpha: float = 1.0,
+    block_rows: int = 1 << 15,
+    interpret: bool = False,
 ) -> jax.Array:
-    """y = A @ x with a blocked Pallas kernel. Requires n % 128 == 0.
+    """y = alpha * (A @ x) + c with a blocked Pallas kernel (c optional).
 
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    The affine form makes weighted-Jacobi sweeps (x' = M x + c) and
+    residuals (r = b - A x, via alpha=-1, c=b) single streaming passes —
+    the V-cycle's entire fine-level work at SpMV cost.  Requires
+    n % 128 == 0. ``interpret=True`` runs in the Pallas interpreter
+    (CPU tests).
     """
     n = A.shape[0]
     D = len(A.offsets)
@@ -94,7 +103,12 @@ def dia_spmv_pallas(
         # positions [HB, 3·HB]; +8 rows of slack for the r != 0 extra row
         rows = RB + 4 * HB + 8
 
-    def kernel(d_hbm, xp_hbm, y_ref, dbuf, xwin, dsem, xsem):
+    def kernel(d_hbm, xp_hbm, *rest):
+        if c is None:
+            y_ref, dbuf, xwin, dsem, xsem = rest
+            c_ref = None
+        else:
+            c_ref, y_ref, dbuf, xwin, dsem, xsem = rest
         i = pl.program_id(0)
 
         def win_start(blk):
@@ -155,15 +169,28 @@ def dia_spmv_pallas(
                 xs = jnp.concatenate([hi[:, r:], lo[:, :r]], axis=1)
             term = dbuf[slot, d] * xs
             acc = term if acc is None else acc + term
+        if alpha != 1.0:
+            acc = acc * alpha
+        if c_ref is not None:
+            acc = acc + c_ref[...]
         y_ref[:] = acc
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [data3, xp]
+    if c is not None:
+        # c streams linearly with y; the automatic pipeline double-buffers it
+        in_specs.append(
+            pl.BlockSpec((RB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(c.reshape(NR, 128))
 
     y2 = pl.pallas_call(
         kernel,
         grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((RB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NR, 128), x.dtype),
         scratch_shapes=[
@@ -173,5 +200,5 @@ def dia_spmv_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(data3, xp)
+    )(*operands)
     return y2.reshape(n)

@@ -127,6 +127,51 @@ class TestPallasDIA:
         y = dia_spmv_pallas(Ad, jnp.asarray(x), block_rows=256, interpret=True)
         np.testing.assert_allclose(np.asarray(y), (A @ x).astype(np.float32), rtol=1e-5)
 
+    def test_kernel_affine_interpret(self, rng):
+        # y = alpha*(A@x) + c — the fused residual / Jacobi-sweep form
+        A = poisson2d(16, dtype=np.float32)
+        Ad = DIA.from_scipy(A, dtype=jnp.float32)
+        x = rng.randn(256).astype(np.float32)
+        c = rng.randn(256).astype(np.float32)
+        y = dia_spmv_pallas(
+            Ad, jnp.asarray(x), c=jnp.asarray(c), alpha=-1.0,
+            block_rows=256, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), (c - A @ x).astype(np.float32), rtol=1e-5, atol=1e-5)
+
+    def test_jacobi_operator_sweep_matches_unfused(self, rng):
+        from mlamg_tpu.ops.dia import dia_jacobi_operator
+        from mlamg_tpu.mg import jacobi
+
+        A = poisson2d(8)
+        n = A.shape[0]
+        Ad = DIA.from_scipy(A, dtype=jnp.float64)
+        d = Ad.diagonal()
+        Dinv = 1.0 / d
+        M = dia_jacobi_operator(Ad, Dinv, 0.666)
+        b = jnp.asarray(rng.randn(n))
+        x = jnp.asarray(rng.randn(n))
+        fused = dia_spmv(M, x) + 0.666 * Dinv * b
+        ref = jacobi(Ad, b, x, Dinv, omega=0.666, nu=1)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-12)
+
+    def test_twolevel_fused_jacobi_matches(self, rng):
+        from mlamg_tpu.mg import sa_interpolation_dense, twolevel_solve
+
+        A = poisson2d(8)
+        n = A.shape[0]
+        agg = jnp.asarray(np.arange(n) // 4)
+        Ad = DIA.from_scipy(A, dtype=jnp.float64)
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        P = sa_interpolation_dense(Ac, agg, 16, omega=0.6)
+        x0 = jnp.asarray(rng.randn(n))
+        _, conv_f, _, it_f = twolevel_solve(
+            Ad, P, jnp.zeros(n), x0, res_tol=1e-8, fused_jacobi=True)
+        _, conv_u, _, it_u = twolevel_solve(
+            Ad, P, jnp.zeros(n), x0, res_tol=1e-8, fused_jacobi=False)
+        assert abs(int(it_f) - int(it_u)) <= 1
+        np.testing.assert_allclose(float(conv_f), float(conv_u), rtol=1e-6)
+
     def test_blocked_dia_all_ops_normalize_layout(self, rng):
         # blocked (D, n/128, 128) DIA must stay correct through every DIA op
         from mlamg_tpu.ops.pallas_kernels import blocked_dia
