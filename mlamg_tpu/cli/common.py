@@ -16,6 +16,14 @@ def parse_bool_str(v: str) -> bool:
     return str(v).lower() in ("t", "true", "1", "yes")
 
 
+def force_platform(platform: str | None):
+    """Pin the jax backend. The sandbox sitecustomize may have imported jax
+    with an ambient JAX_PLATFORMS; env vars are too late by CLI main() time,
+    so use jax.config (effective until the backend is first used)."""
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+
 def load_dataset(system: str, alpha: float, dtype):
     """Load train/test .grid dirs (reference train_dataset.py:62-69)."""
     import os
@@ -69,4 +77,14 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--crossover-prob", type=float, default=0.0)
     parser.add_argument("--checkpoint-dir", type=str, default="models_chkpt")
     parser.add_argument("--float64", default=False, type=parse_bool_str)
+    parser.add_argument("--test-loss-every", type=int, default=10,
+                        help="evaluate the test set every N generations")
+    parser.add_argument("--checkpoint-every", type=int, default=10,
+                        help="write a checkpoint every N generations")
+    parser.add_argument("--metrics-dir", type=str, default="runs")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=[None, "cpu", "tpu"],
+                        help="pin the jax backend (default: ambient)")
+    parser.add_argument("--compile-cache", type=str, default=None,
+                        help="persistent XLA compilation cache directory")
     return parser

@@ -14,8 +14,11 @@ from mlamg_tpu.data import Grid, rotation_matrix_3d
 
 
 def gen_one(kind: str, rng: np.random.RandomState, target_dof: int,
-            eps_log_range=(-4.0, 0.0)) -> Grid:
+            eps_log_range=(-4.0, 0.0), dof_range=None) -> Grid:
     lo, hi = eps_log_range
+    if dof_range is not None:
+        # reference recipe: every grid draws its own size (create_data.py:47)
+        target_dof = int(rng.randint(dof_range[0], dof_range[1] + 1))
     if kind == "isotropic":
         return Grid.random_2d_unstructured(target_dof, seed=rng.randint(1 << 31))
     if kind == "anisotropic":
@@ -51,6 +54,10 @@ def main(argv=None):
     p.add_argument("--type", default="isotropic",
                    choices=["isotropic", "anisotropic", "jump", "structured", "3d"])
     p.add_argument("--dof", type=int, default=300, help="approximate unknowns per grid")
+    p.add_argument("--dof-min", type=int, default=0,
+                   help="if >0, draw each grid's dof uniformly from [dof-min, dof-max] "
+                        "(reference create_data.py:47 draws 25..400)")
+    p.add_argument("--dof-max", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eps-log-min", type=float, default=-4.0)
     p.add_argument("--eps-log-max", type=float, default=0.0)
@@ -67,9 +74,11 @@ def main(argv=None):
     for sub, count in dirs:
         d = os.path.join(args.out_dir, sub) if sub else args.out_dir
         os.makedirs(d, exist_ok=True)
+        dof_range = (args.dof_min, args.dof_max) if args.dof_min > 0 else None
         for i in range(count):
             g = gen_one(args.type, rng, args.dof,
-                        eps_log_range=(args.eps_log_min, args.eps_log_max))
+                        eps_log_range=(args.eps_log_min, args.eps_log_max),
+                        dof_range=dof_range)
             g.save(os.path.join(d, f"{args.type}_{i:04d}"))
             if (i + 1) % 20 == 0:
                 print(f"{d}: {i + 1}/{count}")

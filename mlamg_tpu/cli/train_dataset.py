@@ -17,7 +17,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mlamg_tpu.cli.common import add_training_args, load_dataset, compute_reference_convs
+from mlamg_tpu.cli.common import (
+    add_training_args,
+    load_dataset,
+    compute_reference_convs,
+    force_platform,
+)
 from mlamg_tpu.models import FullAggNet
 from mlamg_tpu.ga import ParallelGA, GAConfig, flatten_params, init_population
 from mlamg_tpu.train import SolveOptions, make_population_fitness, evaluate_model_on_bundles
@@ -28,6 +33,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="GA training of FullAggNet on a .grid dataset")
     add_training_args(parser)
     args = parser.parse_args(argv)
+    force_platform(args.platform)
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     dtype = jnp.float64 if args.float64 else jnp.float32
     if args.float64:
@@ -84,39 +93,43 @@ def main(argv=None):
     ga.num_generation = args.start_generation
 
     os.makedirs(args.checkpoint_dir, exist_ok=True)
-    writer = MetricsWriter("runs")
+    writer = MetricsWriter(args.metrics_dir)
 
     test_fitness = make_population_fitness(
         net, unravel, test, opts, loss_relative=args.loss_relative_measure
     ) if args.compute_test_loss else None
 
-    def report():
+    def report(final: bool = False):
         best, fit, _ = ga.best_solution()
         gen = ga.num_generation
         train_loss = 1.0 / fit
-        if test_fitness is not None:
+        do_test = test_fitness is not None and (
+            final or gen % args.test_loss_every == 0
+        )
+        do_ckpt = final or gen % args.checkpoint_every == 0
+        if do_test:
             t_fit = float(test_fitness(jnp.asarray(best)[None, :], gen)[0])
             test_loss = 1.0 / t_fit
+            writer.add_scalars("Loss/Test", {"ML": test_loss, "Lloyd": 1.0}, gen)
+            print(f"Generation = {gen}  Train Loss = {train_loss:.6f}  "
+                  f"Test Loss = {test_loss:.6f}", flush=True)
         else:
-            test_loss = train_loss
-        print(f"Generation = {gen}")
-        print(f"Train Loss = {train_loss:.6f}")
-        print(f"Test Loss = {test_loss:.6f}")
+            print(f"Generation = {gen}  Train Loss = {train_loss:.6f}", flush=True)
         writer.add_scalars("Loss/Train", {"ML": train_loss, "Lloyd": 1.0}, gen)
-        writer.add_scalars("Loss/Test", {"ML": test_loss, "Lloyd": 1.0}, gen)
         writer.add_scalars(
             "PopulationFitness",
             {str(i): float(f) for i, f in enumerate(np.sort(np.asarray(ga.fitness)))},
             gen,
         )
-        save_checkpoint(
-            os.path.join(args.checkpoint_dir, f"model_{gen:03}.ckpt"),
-            generation=gen,
-            best_params=unravel(jnp.asarray(best)),
-            population=ga.population,
-            fitness=ga.fitness,
-            key=ga.key,
-        )
+        if do_ckpt:
+            save_checkpoint(
+                os.path.join(args.checkpoint_dir, f"model_{gen:03}.ckpt"),
+                generation=gen,
+                best_params=unravel(jnp.asarray(best)),
+                population=ga.population,
+                fitness=ga.fitness,
+                key=ga.key,
+            )
 
     report()
     for _ in range(args.max_generations):
@@ -125,7 +138,7 @@ def main(argv=None):
                 ga.stochastic_iteration()
             else:
                 ga.iteration()
-        report()
+        report(final=_ == args.max_generations - 1)
     Profiler.print_tree()
     writer.close()
 

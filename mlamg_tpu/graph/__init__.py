@@ -1,6 +1,6 @@
 from mlamg_tpu.graph.topk import topk_mask, topk_indices  # noqa: F401
 from mlamg_tpu.graph.bellman_ford import bellman_ford, nearest_center_to_agg  # noqa: F401
-from mlamg_tpu.graph.lloyd import lloyd_aggregation  # noqa: F401
+from mlamg_tpu.graph.lloyd import lloyd_aggregation, lloyd_distance, LLOYD_DISTANCES  # noqa: F401
 from mlamg_tpu.graph.components import (  # noqa: F401
     connected_components,
     num_connected_components,

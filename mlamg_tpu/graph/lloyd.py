@@ -113,18 +113,49 @@ def _lloyd_core(C, seeds, maxiter: int):
     return agg_id, seeds
 
 
-def lloyd_aggregation(C, ratio: float = 0.03, maxiter: int = 10, seeds=None, key=None):
+def lloyd_distance(C, distance: str = "same"):
+    """Edge-distance transform menu of the reference's ``lloyd_aggregation``
+    (ns/lib/graph.py:186-213): for each stored C[i,j],
+
+        'unit'  G[i,j] = 1
+        'abs'   G[i,j] = |C[i,j]|
+        'inv'   G[i,j] = 1 / |C[i,j]|
+        'same'  G[i,j] = C[i,j]
+        'sub'   G[i,j] = C[i,j] - min(C)   (the reference's 'min' branch)
+    """
+    live = C.mask
+    if distance == "unit":
+        data = jnp.where(live, 1.0, 0.0)
+    elif distance == "abs":
+        data = jnp.abs(C.data)
+    elif distance == "inv":
+        data = jnp.where(live, 1.0 / jnp.maximum(jnp.abs(C.data), 1e-30), 0.0)
+    elif distance == "same":
+        return C
+    elif distance == "sub":
+        cmin = jnp.min(jnp.where(live, C.data, jnp.inf))
+        data = jnp.where(live, C.data - cmin, 0.0)
+    else:
+        raise ValueError(f"unrecognized distance={distance}")
+    return C.with_data(data)
+
+
+LLOYD_DISTANCES = ("unit", "abs", "inv", "same", "sub")
+
+
+def lloyd_aggregation(C, ratio: float = 0.03, maxiter: int = 10, seeds=None, key=None,
+                      distance: str = "same"):
     """Aggregate nodes by Lloyd clustering on the weighted graph ``C``.
 
     Parameters mirror the reference's ``lloyd_aggregation``
     (ns/lib/graph.py:156-239): ``ratio`` picks ``k = ceil(ratio*n)`` seeds
-    (random permutation unless ``seeds`` given), distances are whatever is
-    stored in ``C.data`` (callers pre-transform per the 'unit'/'abs'/'inv'/
-    'same' table).
+    (random permutation unless ``seeds`` given); ``distance`` transforms
+    ``C.data`` into edge distances per :func:`lloyd_distance`.
 
     Returns (agg_id, roots, seeds): assignment vector, final centers,
     initial seeds.
     """
+    C = lloyd_distance(C, distance)
     n = C.shape[0]
     k = int(np.ceil(ratio * n))
     if seeds is None:

@@ -94,6 +94,13 @@ def twolevel_solve(
         coarse = CoarseSolver.factor(A_H, singular=singular)
 
     smoother_args = smoother_args or {}
+    if smoother == "chebyshev" and "lmax" not in smoother_args:
+        # default eigenvalue bound by power iteration on D^-1 A (role of the
+        # reference's ARPACK eigs at utils/train_one_sample.py:133)
+        from mlamg_tpu.graph.strength import power_iteration_lmax
+
+        smoother_args = dict(smoother_args)
+        smoother_args["lmax"] = jnp.abs(power_iteration_lmax(A, Dinv))
 
     if fused_jacobi is None:
         fused_jacobi = (
@@ -259,15 +266,22 @@ def build_hierarchy(
         Dinv = 1.0 / jnp.where(d != 0, d, 1.0)
         Dinvs.append(Dinv)
         if lvl < sparse_levels and isinstance(level_A, CSR):
-            # sparse Galerkin product with host-computed static bounds
+            # sparse Galerkin product with host-computed static bounds.
+            # The bounds are heuristic; overflow is detected on device and
+            # the product re-run with a doubled capacity (setup phase, so
+            # the recompile is acceptable) — truncation is never silent.
             P = smoothed_aggregation(level_A, agg_id, k)
             p_width = lvl_width  # P shares A's pattern with remapped columns
             nnz_ap = level_A.nnz_pad * p_width
             nnz_out = min(nnz_ap * lvl_width, 4 * nnz_ap)
-            A_next = matmul.rap(
-                level_A, P, nnz_ap=nnz_ap, nnz_out=nnz_out,
-                a_width=lvl_width, p_width=p_width,
-            )
+            while True:
+                A_next, overflow = matmul.rap(
+                    level_A, P, nnz_ap=nnz_ap, nnz_out=nnz_out,
+                    a_width=lvl_width, p_width=p_width, return_overflow=True,
+                )
+                if not bool(overflow):
+                    break
+                nnz_out *= 2
         else:
             P = sa_interpolation_dense(level_A, agg_id, k)
             A_next = matmul.rap_dense(level_A, P)

@@ -231,7 +231,20 @@ def fem_p1_assemble(vertices, triangles, kappa_tensors):
         lib.fem_p1_assemble(n_tri, v.reshape(-1), t.reshape(-1), k.reshape(-1),
                             rows, cols, vals)
         return rows, cols, vals
-    from mlamg_tpu.data import fem as pyfem
-
-    A = pyfem.gradgradform(v, t, kappa=lambda x, y: np.eye(2))
-    raise NotImplementedError("fallback requires per-tri kappa; use data.fem")
+    # numpy fallback: same vectorized local assembly as data.fem.gradgradform,
+    # but with the per-triangle kappa tensors this entry point takes.
+    p0, p1, p2 = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+    d1 = p1 - p0
+    d2 = p2 - p0
+    det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    area = 0.5 * np.abs(det)
+    inv_det = 1.0 / det
+    g1 = np.column_stack([d2[:, 1], -d2[:, 0]]) * inv_det[:, None]
+    g2 = np.column_stack([-d1[:, 1], d1[:, 0]]) * inv_det[:, None]
+    g0 = -(g1 + g2)
+    G = np.stack([g0, g1, g2], axis=1)  # (m, 3, 2)
+    KG = np.einsum("mab,mjb->mja", k, G)
+    local = np.einsum("mia,mja->mij", G, KG) * area[:, None, None]
+    rows = np.repeat(t, 3, axis=1).ravel()
+    cols = np.tile(t, (1, 3)).ravel()
+    return rows.astype(np.int64), cols.astype(np.int64), local.ravel()

@@ -152,12 +152,16 @@ def coalesce(
     col: jax.Array,
     shape,
     nnz_out: int,
+    return_overflow: bool = False,
 ) -> CSR:
     """Sort COO triplets by (row, col), merge duplicates, pad to ``nnz_out``.
 
     Padding-in: entries with ``row >= shape[0]``.  Static output size; if the
-    true coalesced nnz exceeds ``nnz_out`` the result silently drops the
-    largest coordinates (callers pick sound upper bounds).
+    true coalesced nnz exceeds ``nnz_out`` the largest coordinates are
+    dropped.  With ``return_overflow`` the (CSR, overflowed) pair is
+    returned, where ``overflowed`` is a traced bool — host-driven setup code
+    (e.g. build_hierarchy) must check it and re-run with a larger bound;
+    truncation is never silent on those paths.
     """
     m, n = shape
     mask = row < m
@@ -200,7 +204,10 @@ def coalesce(
     indptr = jnp.searchsorted(
         out_row, jnp.arange(m + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    return CSR(out_data, out_row, out_col, indptr, (m, n), nnz_out)
+    out = CSR(out_data, out_row, out_col, indptr, (m, n), nnz_out)
+    if return_overflow:
+        return out, k > nnz_out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +215,10 @@ def coalesce(
 # ---------------------------------------------------------------------------
 
 
-def spgemm(A: CSR, B: CSR, *, nnz_out: int, b_width: int | None = None) -> CSR:
+def spgemm(
+    A: CSR, B: CSR, *, nnz_out: int, b_width: int | None = None,
+    return_overflow: bool = False,
+) -> CSR:
     """C = A @ B with a static output capacity ``nnz_out``.
 
     Expand-sort-coalesce: every A entry (i,k,va) is multiplied against the
@@ -218,6 +228,8 @@ def spgemm(A: CSR, B: CSR, *, nnz_out: int, b_width: int | None = None) -> CSR:
 
     ``b_width`` caps B's ELL width (defaults to B's max row degree, computed
     on host from indptr if available — pass it explicitly under jit).
+    ``return_overflow`` additionally returns a traced bool that is True iff
+    the true product nnz exceeded ``nnz_out`` (result truncated).
     """
     m, p = A.shape
     p2, n = B.shape
@@ -237,7 +249,8 @@ def spgemm(A: CSR, B: CSR, *, nnz_out: int, b_width: int | None = None) -> CSR:
     # push them to the sentinel row.
     live = (b_vals != 0).reshape(-1)
     rows = jnp.where(live, rows, m)
-    return coalesce(vals, rows, cols, (m, n), nnz_out)
+    return coalesce(vals, rows, cols, (m, n), nnz_out,
+                    return_overflow=return_overflow)
 
 
 def spgemm_masked(A: CSR, B: CSR, pattern: CSR, *, a_width: int, b_width: int) -> CSR:
@@ -286,8 +299,20 @@ def rap_dense(A, P) -> jax.Array:
     return P.T @ AP
 
 
-def rap(A: CSR, P: CSR, *, nnz_ap: int, nnz_out: int, a_width: int, p_width: int) -> CSR:
-    """Sparse Galerkin triple product via two SpGEMMs (multilevel path)."""
+def rap(A: CSR, P: CSR, *, nnz_ap: int, nnz_out: int, a_width: int, p_width: int,
+        return_overflow: bool = False):
+    """Sparse Galerkin triple product via two SpGEMMs (multilevel path).
+
+    With ``return_overflow``, returns (A_H, overflowed) where ``overflowed``
+    is True iff either SpGEMM exceeded its static bound (truncated result).
+    """
+    if return_overflow:
+        AP, ov1 = spgemm(A, P, nnz_out=nnz_ap, b_width=p_width, return_overflow=True)
+        Pt = transpose(P)
+        out, ov2 = spgemm(Pt, AP, nnz_out=nnz_out,
+                          b_width=min(nnz_ap, a_width * p_width),
+                          return_overflow=True)
+        return out, ov1 | ov2
     AP = spgemm(A, P, nnz_out=nnz_ap, b_width=p_width)
     Pt = transpose(P)
     return spgemm(Pt, AP, nnz_out=nnz_out, b_width=min(nnz_ap, a_width * p_width))

@@ -1,4 +1,4 @@
 from mlamg_tpu.parallel.mesh import make_mesh, population_sharding  # noqa: F401
 from mlamg_tpu.parallel.pop_parallel import shard_population_eval  # noqa: F401
 from mlamg_tpu.parallel.pspmv import PartitionedELL, pspmv, pspmv_halo  # noqa: F401
-from mlamg_tpu.parallel.pbf import pbf  # noqa: F401
+from mlamg_tpu.parallel.pbf import pbf, pbf_partition  # noqa: F401

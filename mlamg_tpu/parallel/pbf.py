@@ -20,6 +20,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mlamg_tpu.parallel.pspmv import PartitionedELL
 
 
+def pbf_partition(C, num_shards: int, halo: int, dtype=jnp.float64) -> PartitionedELL:
+    """Partition a (possibly directed) strength graph for :func:`pbf`.
+
+    ``pbf`` relaxes each local row i from its stored entries (pull form), so
+    a stored entry (i, j) acts as the edge j -> i.  The serial kernel
+    (graph.bellman_ford) treats C[i, j] as the edge i -> j; storing **C^T**
+    makes the two exactly equivalent for any directed C (learned CNet
+    weights are directed MLP outputs — orientation is load-bearing).
+    """
+    import scipy.sparse as sp
+
+    return PartitionedELL.from_scipy(
+        sp.csr_matrix(C).T.tocsr(), num_shards, halo=halo, dtype=dtype
+    )
+
+
 def pbf(
     A: PartitionedELL,
     centers_mask_sharded: jax.Array,
@@ -30,10 +46,12 @@ def pbf(
 
     Parameters
     ----------
-    A : halo-encoded PartitionedELL; ``A.data`` are edge lengths (i -> j
-        edges stored by source row i, like the serial kernel's transpose
-        orientation: entry (i, col) relaxes the *column* node from i).
-        For symmetric strength graphs orientation doesn't matter.
+    A : halo-encoded PartitionedELL holding the **transpose** of the serial
+        kernel's graph (build it with :func:`pbf_partition`): the stored
+        entry (i, col) relaxes local row i from node col, i.e. acts as the
+        edge col -> i.  For symmetric graphs the transpose is a no-op, but
+        for directed C (learned CNet output) it is required for serial
+        equivalence.
     centers_mask_sharded : (S, n_loc) bool — True at center nodes.
     Returns (dist (S, n_loc), nearest_global_id (S, n_loc)).
     """

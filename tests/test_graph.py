@@ -144,6 +144,34 @@ class TestLloyd:
         # aggregates are connected subgraphs
         assert bool(check_aggregates_connected(Gc, agg_id, k))
 
+    def test_distance_modes(self, rng):
+        # reference ns/lib/graph.py:186-213 distance menu: all five modes
+        # produce valid partitions; the transforms match their definitions
+        from mlamg_tpu.graph.lloyd import lloyd_distance, LLOYD_DISTANCES
+
+        G = abs(poisson2d(8))
+        G.setdiag(0)
+        G.eliminate_zeros()
+        Gc = CSR.from_scipy(G, dtype=jnp.float64)
+        live = np.asarray(Gc.mask)
+        data = np.asarray(Gc.data)
+        expect = {
+            "unit": np.where(live, 1.0, 0.0),
+            "abs": np.abs(data),
+            "inv": np.where(live, 1.0 / np.maximum(np.abs(data), 1e-30), 0.0),
+            "same": data,
+            "sub": np.where(live, data - data[live].min(), 0.0),
+        }
+        for mode in LLOYD_DISTANCES:
+            got = np.asarray(lloyd_distance(Gc, mode).data)
+            np.testing.assert_allclose(got[live], expect[mode][live], rtol=1e-12)
+            agg_id, roots, _ = lloyd_aggregation(
+                Gc, ratio=0.15, key=jax.random.PRNGKey(3), distance=mode
+            )
+            agg = np.asarray(agg_id)
+            k = int(np.ceil(0.15 * G.shape[0]))
+            assert agg.min() >= 0 and agg.max() < k
+
     def test_deterministic(self, rng):
         G = abs(poisson2d(8))
         G.setdiag(0)

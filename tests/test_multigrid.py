@@ -209,6 +209,25 @@ class TestTwoLevel:
         _, conv_ref, err_ref = numpy_twolevel_jacobi(A, np.asarray(P), b, x0)
         np.testing.assert_allclose(float(conv), conv_ref, rtol=1e-8)
 
+    def test_chebyshev_smoother_default_lmax(self, rng):
+        # smoother="chebyshev" without smoother_args must work (default lmax
+        # via power iteration) and converge on SPD Poisson
+        nx = 12
+        A = poisson2d(nx)
+        n = A.shape[0]
+        agg = (np.arange(n) // nx // 2) * (nx // 2) + (np.arange(n) % nx) // 2
+        k = int(agg.max()) + 1
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        P = sa_interpolation_dense(Ac, jnp.asarray(agg), k, omega=0.65)
+        x0 = rng.randn(n)
+        x0 /= np.linalg.norm(x0)
+        x, conv, err, iters = twolevel_solve(
+            Ac, P, jnp.zeros(n), jnp.asarray(x0), res_tol=1e-10,
+            smoother="chebyshev",
+        )
+        assert float(conv) < 0.5
+        assert np.linalg.norm(A @ np.asarray(x)) < 1e-9
+
     def test_sparse_P_equals_dense_P(self, rng):
         n, size = 30, 3
         A = poisson1d(n)

@@ -98,3 +98,19 @@ def test_fem_assemble_matches_python():
     A_native = sp.coo_matrix((vals, (rows, cols)), shape=(len(v), len(v))).tocsr()
     A_py = fem.gradgradform(v, e)
     assert abs(A_native - A_py).max() < 1e-10
+
+
+def test_fem_assemble_numpy_fallback(monkeypatch):
+    # the pure-numpy path (native .so unavailable) must produce the same
+    # triplets, including anisotropic per-triangle tensors
+    from mlamg_tpu.data import fem
+
+    v, e = fem.regular_triangle_mesh(5, 5)
+    K = fem.anisotropic_kappa(0.1, 0.3)(0.0, 0.0)
+    kappa = np.tile(K, (len(e), 1, 1))
+    ref_rows, ref_cols, ref_vals = native.fem_p1_assemble(v, e, kappa)
+    monkeypatch.setattr(native, "_load", lambda: None)
+    rows, cols, vals = native.fem_p1_assemble(v, e, kappa)
+    A_ref = sp.coo_matrix((ref_vals, (ref_rows, ref_cols)), shape=(len(v),) * 2)
+    A_fb = sp.coo_matrix((vals, (rows, cols)), shape=(len(v),) * 2)
+    assert abs((A_ref - A_fb).tocsr()).max() < 1e-10

@@ -271,6 +271,35 @@ class TestPartitionedBF:
         np.testing.assert_allclose(dist, np.asarray(d_ref), atol=1e-10)
         np.testing.assert_array_equal(near, np.asarray(n_ref))
 
+    def test_matches_serial_bf_directed(self, rng):
+        # learned CNet weights are directed: C[i,j] != C[j,i].  pbf must
+        # agree with the serial kernel on an asymmetric banded graph when
+        # partitioned through pbf_partition (which stores C^T).
+        from mlamg_tpu.ops import CSR
+        from mlamg_tpu.graph import bellman_ford
+        from mlamg_tpu.parallel import pbf, pbf_partition
+
+        mesh = make_mesh(pop=1, row=8)
+        n = 64
+        lo = rng.rand(n - 1) + 0.1
+        up = rng.rand(n - 1) + 0.1  # different weights per direction
+        C = sp.diags([lo, up], [-1, 1]).tocsr()
+        Cp = pbf_partition(C, 8, halo=1, dtype=jnp.float64)
+        centers = np.array([3, 47], np.int32)
+        cmask = np.zeros(n, bool)
+        cmask[centers] = True
+        cm_sharded = jnp.asarray(cmask).reshape(8, 8)
+
+        dist, near = pbf(Cp, cm_sharded, mesh)
+        dist = np.asarray(dist).ravel()[:n]
+        near = np.asarray(near).ravel()[:n]
+
+        d_ref, n_ref = bellman_ford(
+            CSR.from_scipy(C, dtype=jnp.float64), jnp.asarray(centers)
+        )
+        np.testing.assert_allclose(dist, np.asarray(d_ref), atol=1e-10)
+        np.testing.assert_array_equal(near, np.asarray(n_ref))
+
 
 class TestOptimizers:
     def test_spsa_minimizes(self):

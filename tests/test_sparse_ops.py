@@ -176,6 +176,43 @@ class TestProducts:
         )
         np.testing.assert_allclose(np.asarray(got), AH, atol=1e-10)
 
+    def test_spgemm_overflow_flag(self, rng):
+        # nnz_out smaller than the true product nnz must be reported, never
+        # silently truncated (VERDICT r1: wrong coarse operator with no error)
+        A = random_csr(rng, 25, 30, density=0.3)
+        B = random_csr(rng, 30, 20, density=0.3)
+        true_nnz = (A @ B).nnz
+        assert true_nnz > 16
+        wb = int(np.diff(B.tocsr().indptr).max())
+        Ad = CSR.from_scipy(A, dtype=jnp.float64)
+        Bd = CSR.from_scipy(B, dtype=jnp.float64)
+        _, ov = matmul.spgemm(Ad, Bd, nnz_out=16, b_width=wb, return_overflow=True)
+        assert bool(ov)
+        Cd, ov = matmul.spgemm(
+            Ad, Bd, nnz_out=true_nnz, b_width=wb, return_overflow=True
+        )
+        assert not bool(ov)
+        np.testing.assert_allclose(np.asarray(Cd.todense()), (A @ B).toarray(), atol=1e-12)
+
+    def test_rap_overflow_flag(self, rng):
+        n = 64
+        A = poisson1d(n)
+        k = n // 4
+        P = sp.csr_matrix(
+            (np.ones(n), (np.arange(n), np.arange(n) // 4)), shape=(n, k)
+        )
+        Ad = CSR.from_scipy(A, dtype=jnp.float64)
+        Pd = CSR.from_scipy(P, dtype=jnp.float64)
+        _, ov = matmul.rap(Ad, Pd, nnz_ap=512, nnz_out=8, a_width=3, p_width=1,
+                           return_overflow=True)
+        assert bool(ov)
+        AH, ov = matmul.rap(Ad, Pd, nnz_ap=512, nnz_out=512, a_width=3, p_width=1,
+                            return_overflow=True)
+        assert not bool(ov)
+        np.testing.assert_allclose(
+            np.asarray(AH.todense()), (P.T @ A @ P).toarray(), atol=1e-12
+        )
+
     def test_coalesce_duplicates(self):
         # duplicate coordinates must sum
         row = jnp.array([0, 1, 0, 3, 1, 3], dtype=jnp.int32)  # 3 = sentinel pad
