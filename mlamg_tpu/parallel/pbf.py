@@ -116,10 +116,13 @@ def pbf(
         )
         return dist[None, :], near[None, :]
 
+    from mlamg_tpu.parallel.pspmv import _operands
+
+    data, col = _operands(A, mesh)
     return jax.shard_map(
         kernel,
         mesh=mesh,
         in_specs=(P("row", None, None), P("row", None, None), P("row", None)),
         out_specs=(P("row", None), P("row", None)),
         check_vma=False,
-    )(A.data, A.col, centers_mask_sharded)
+    )(data, col, centers_mask_sharded)

@@ -88,14 +88,31 @@ class PartitionedELL:
         )
 
     def shard_x(self, x, mesh: Mesh | None = None):
-        """(n,) vector -> (S, n_loc) row-sharded layout (zero padded)."""
+        """(n,) vector -> (S, n_loc) row-sharded layout (zero padded).
+
+        Multi-process safe: with a host mesh the result is a global array
+        whose shards live on their owning processes.
+        """
         n = self.shape[0]
         S, n_loc = self.num_shards, self.n_loc
-        xp = jnp.zeros((S * n_loc,), jnp.asarray(x).dtype).at[:n].set(x)
-        xs = xp.reshape(S, n_loc)
+        xs = np.zeros((S * n_loc,), np.asarray(x).dtype)
+        xs[:n] = np.asarray(x)
+        xs = xs.reshape(S, n_loc)
         if mesh is not None:
-            xs = jax.device_put(xs, NamedSharding(mesh, P("row", None)))
-        return xs
+            from mlamg_tpu.parallel.distributed import make_global
+
+            return make_global(xs, mesh, P("row", None))
+        return jnp.asarray(xs)
+
+    def to_global(self, mesh: Mesh):
+        """Global-array (data, col) pair sharded over the mesh's row axis —
+        required when the mesh spans multiple processes."""
+        from mlamg_tpu.parallel.distributed import make_global
+
+        return (
+            make_global(self.data, mesh, P("row", None, None)),
+            make_global(self.col, mesh, P("row", None, None)),
+        )
 
 
 def _local_spmv(data, col, x_src):
@@ -115,13 +132,22 @@ def pspmv(A: PartitionedELL, xs: jax.Array, mesh: Mesh) -> jax.Array:
         y = _local_spmv(data[0], col[0], x_full)
         return y[None, :]
 
+    data, col = _operands(A, mesh)
     return jax.shard_map(
         kernel,
         mesh=mesh,
         in_specs=(P("row", None, None), P("row", None, None), P("row", None)),
         out_specs=P("row", None),
         check_vma=False,
-    )(A.data, A.col, xs)
+    )(data, col, xs)
+
+
+def _operands(A: PartitionedELL, mesh: Mesh):
+    """(data, col) ready for a shard_map over ``mesh`` — globalized when the
+    mesh spans processes (shard_map requires global arrays there)."""
+    if jax.process_count() > 1:
+        return A.to_global(mesh)
+    return A.data, A.col
 
 
 def pspmv_halo(A: PartitionedELL, xs: jax.Array, mesh: Mesh) -> jax.Array:
@@ -150,13 +176,14 @@ def pspmv_halo(A: PartitionedELL, xs: jax.Array, mesh: Mesh) -> jax.Array:
         y = _local_spmv(data[0], col[0], x_ext)
         return y[None, :]
 
+    data, col = _operands(A, mesh)
     return jax.shard_map(
         kernel,
         mesh=mesh,
         in_specs=(P("row", None, None), P("row", None, None), P("row", None)),
         out_specs=P("row", None),
         check_vma=False,
-    )(A.data, A.col, xs)
+    )(data, col, xs)
 
 
 def partitioned_jacobi(
