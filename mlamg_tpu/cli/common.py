@@ -72,6 +72,9 @@ def add_training_args(parser: argparse.ArgumentParser):
                         help="uniform perturbation when seeding the population")
     parser.add_argument("--mutation-prob", type=float, default=1.0,
                         help="per-fold mutation probability")
+    parser.add_argument("--fold-depth", type=int, default=2,
+                        help="pytree depth defining GA folds (2 = per-subnet, "
+                             "large = per-tensor like the reference state_dict)")
     parser.add_argument("--mutation-perturb", type=float, default=0.5,
                         help="uniform mutation magnitude")
     parser.add_argument("--crossover-prob", type=float, default=0.0)

@@ -62,7 +62,9 @@ def main(argv=None):
     params = net.init(jax.random.PRNGKey(0), train[0].A, train[0].k)
     if args.start_model:
         params = load_checkpoint(args.start_model)["best_params"]
-    vec, unravel, fold_ids, fold_names = flatten_params(params)
+    vec, unravel, fold_ids, fold_names = flatten_params(
+        params, fold_depth=args.fold_depth
+    )
     print(f"{vec.shape[0]} weights in {len(fold_names)} folds")
 
     mesh = None
