@@ -1,19 +1,25 @@
-"""Headline benchmark: SpMV throughput vs the HBM roofline on one chip.
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark suite on one chip.  Prints ONE JSON line whose headline metric
+is the DIA SpMV HBM-roofline fraction; `detail.extra_metrics` carries the
+rest of the BASELINE.md matrix (unstructured SpMV, two-level cycle, sparse
+RAP, model forward).
 
 Methodology notes (they matter on a network-attached chip):
-- the SpMV is iterated *inside one jitted ``fori_loop``* and timed by the
-  slope between two iteration counts, with a scalar readback — per-call
-  host-loop timing on this platform measures dispatch, not execution;
-- the matrix is a 4096^2 five-point Poisson operator (n = 16.8M,
-  nnz = 83.9M) stored in DIA form — the TPU-native stencil layout where
-  SpMV is static shifted fused multiply-adds with no gather. The working
-  set (~470 MB) exceeds VMEM, so the measurement is HBM-bound;
+- every kernel is iterated *inside one jitted ``fori_loop``* and timed by
+  the slope between two iteration counts, with a scalar readback —
+  per-call host-loop timing on this platform measures dispatch, not
+  execution;
+- headline matrix: 4096^2 five-point Poisson (n = 16.8M, nnz = 83.9M) in
+  DIA form — the TPU-native stencil layout where SpMV is static shifted
+  fused multiply-adds with no gather. The working set (~470 MB) exceeds
+  VMEM, so the measurement is HBM-bound;
 - roofline model: one streaming pass reads D=5 diagonals + x and writes y
   => (D + 2) * 4 bytes per row = 5.6 bytes/nnz; target is 80% of that
-  (BASELINE.json). vs_baseline = achieved_fraction / 0.80.
+  (BASELINE.json). vs_baseline = achieved_fraction / 0.80;
+- unstructured: random-hull P1 FEM matrix (the reference's dataset family,
+  ns/model/data.py:416-433), RCM-ordered, via the windowed-gather ELL
+  Pallas kernel (ops/unstructured.py). v5e has no VMEM gather hardware, so
+  this path is VPU-bound, not HBM-bound; the reported baseline factor is
+  the measured XLA gather-SpMV on the same operator.
 """
 
 from __future__ import annotations
@@ -39,6 +45,200 @@ def detect_bw(device) -> float:
         if k in kind:
             return bw
     return 819.0
+
+
+def bench_unstructured(on_tpu: bool):
+    """Windowed-gather ELL SpMV on a random-hull FEM matrix (Gnnz/s)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    from functools import partial
+    from mlamg_tpu.data import Grid
+    from mlamg_tpu.ops.unstructured import WindowedELL, well_spmv_pallas, rcm_spmv_setup
+
+    g = Grid.random_2d_unstructured(600_000, seed=7)
+    A = sp.csr_matrix(g.A).astype(np.float32)
+    perm, W = rcm_spmv_setup(A)
+    n = W.shape[0]
+    x = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(W, x, k):
+        def body(i, v):
+            return well_spmv_pallas(W, v, interpret=not on_tpu) * 1e-6
+
+        return jnp.sum(jax.lax.fori_loop(0, k, body, x))
+
+    def timed(k):
+        float(chain(W, x, k))
+        t0 = time.perf_counter()
+        float(chain(W, x, k))
+        return time.perf_counter() - t0
+
+    dt = (timed(30) - timed(10)) / 20
+    return {
+        "metric": "unstructured_spmv_gnnz_per_s",
+        "value": round(W.nnz / dt / 1e9, 4),
+        "unit": "Gnnz/s",
+        "n": n,
+        "nnz": W.nnz,
+        "spmv_us": round(dt * 1e6, 1),
+        "format": "WindowedELL(RCM random-hull FEM)",
+        "xla_gather_baseline_gnnz_per_s": 0.045,  # measured, same op family
+        "speedup_vs_xla_gather": round((W.nnz / dt / 1e9) / 0.045, 1),
+    }
+
+
+def bench_twolevel():
+    """Deployment-grade two-level cycle on a 512^2 Poisson (DIA fused fine
+    level + dense MXU restriction/prolongation + LU coarse solve)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    from mlamg_tpu.ops import CSR, DIA
+    from mlamg_tpu.ops.pallas_kernels import blocked_dia
+    from mlamg_tpu.mg.cycle import twolevel_solve
+    from mlamg_tpu.mg.interp import sa_interpolation_dense
+
+    nx = 512
+    I = sp.eye(nx, format="csr", dtype=np.float32)
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx), dtype=np.float32)
+    A = (sp.kron(I, T) + sp.kron(T, I)).tocsr()
+    n = A.shape[0]
+    side = 16  # 16x16 box aggregates -> k = 1024, dense P feasible
+    ii, jj = np.arange(n) // nx, np.arange(n) % nx
+    agg = (ii // side) * (nx // side) + (jj // side)
+    k = int(agg.max()) + 1
+    Ac = CSR.from_scipy(A, dtype=jnp.float32)
+    P = sa_interpolation_dense(Ac, jnp.asarray(agg), k, omega=0.65)
+    Ad = blocked_dia(DIA.from_scipy(A))
+    x0 = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
+    b = jnp.zeros(n, jnp.float32)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(P, b, x0, iters):
+        x, conv, err, it = twolevel_solve(
+            Ad, P, b, x0, res_tol=0.0, max_iter=iters
+        )
+        return jnp.sum(x)
+
+    def timed(iters):
+        float(run(P, b, x0, iters))
+        t0 = time.perf_counter()
+        float(run(P, b, x0, iters))
+        return time.perf_counter() - t0
+
+    dt = (timed(24) - timed(8)) / 16
+    return {
+        "metric": "twolevel_cycle_ms",
+        "value": round(dt * 1e3, 3),
+        "unit": "ms/iteration",
+        "n": n,
+        "nnz": int(A.nnz),
+        "k": k,
+        "gnnz_per_s_fine_sweeps": round(3 * A.nnz / dt / 1e9, 3),
+    }
+
+
+def bench_rap():
+    """Sparse Galerkin product (expand-sort-coalesce SpGEMM x2) nnz/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    from mlamg_tpu.ops import CSR, matmul
+    from mlamg_tpu.mg.interp import smoothed_aggregation
+
+    nx = 256
+    I = sp.eye(nx, format="csr", dtype=np.float32)
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx), dtype=np.float32)
+    A = (sp.kron(I, T) + sp.kron(T, I)).tocsr()
+    n = A.shape[0]
+    ii, jj = np.arange(n) // nx, np.arange(n) % nx
+    agg = (ii // 3) * (nx // 3 + 1) + (jj // 3)
+    k = int(agg.max()) + 1
+    Ac = CSR.from_scipy(A, dtype=jnp.float32)
+    P = smoothed_aggregation(Ac, jnp.asarray(agg), k)
+    width = 5
+    nnz_ap = Ac.nnz_pad * width
+    nnz_out = 4 * nnz_ap
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(Ac, P, iters):
+        def body(i, s):
+            # carry-dependent input defeats loop-invariant hoisting
+            AH = matmul.rap(
+                Ac.with_data(Ac.data + s * 1e-30), P,
+                nnz_ap=nnz_ap, nnz_out=nnz_out,
+                a_width=width, p_width=width,
+            )
+            return jnp.sum(AH.data) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    def timed(iters):
+        float(run(Ac, P, iters))
+        t0 = time.perf_counter()
+        float(run(Ac, P, iters))
+        return time.perf_counter() - t0
+
+    dt = (timed(6) - timed(2)) / 4
+    return {
+        "metric": "rap_spgemm_mnnz_per_s",
+        "value": round(A.nnz / dt / 1e6, 2),
+        "unit": "Mnnz(A)/s",
+        "n": n,
+        "nnz": int(A.nnz),
+        "rap_ms": round(dt * 1e3, 2),
+    }
+
+
+def bench_model_forward():
+    """FullAggNet forward (scores -> BF -> P) on a 64^2 grid."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mlamg_tpu.data import Grid
+    from mlamg_tpu.ops import CSR
+    from mlamg_tpu.models import FullAggNet
+
+    g = Grid.structured_2d_poisson_dirichlet(64, 64)
+    A = CSR.from_scipy(g.A, dtype=jnp.float32)
+    n = g.A.shape[0]
+    k = int(np.ceil(0.1 * n))
+    net = FullAggNet(dim=8, num_conv=2, iterations=2)
+    params = net.init(jax.random.PRNGKey(0), A, k)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(params, A, iters):
+        def body(i, s):
+            # carry-dependent input defeats loop-invariant hoisting
+            _, P, _, _, _ = net.apply(params, A.with_data(A.data + s * 1e-30), k)
+            return jnp.sum(P.data) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    def timed(iters):
+        float(run(params, A, iters))
+        t0 = time.perf_counter()
+        float(run(params, A, iters))
+        return time.perf_counter() - t0
+
+    dt = (timed(12) - timed(4)) / 8
+    return {
+        "metric": "fullaggnet_forward_ms",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/forward",
+        "n": n,
+    }
 
 
 def main():
@@ -110,6 +310,18 @@ def main():
     frac = achieved_gbps / bw
     target = 0.80
 
+    extra = []
+    for fn, args in (
+        (bench_unstructured, (on_tpu,)),
+        (bench_twolevel, ()),
+        (bench_rap, ()),
+        (bench_model_forward, ()),
+    ):
+        try:
+            extra.append(fn(*args))
+        except Exception as e:  # keep the headline alive on partial failure
+            extra.append({"metric": fn.__name__, "error": str(e)[:200]})
+
     print(
         json.dumps(
             {
@@ -127,6 +339,7 @@ def main():
                     "gnnz_per_s": round(nnz_per_s / 1e9, 3),
                     "achieved_gbps": round(achieved_gbps, 1),
                     "assumed_peak_gbps": bw,
+                    "extra_metrics": extra,
                 },
             }
         )

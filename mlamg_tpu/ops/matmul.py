@@ -41,10 +41,20 @@ def _is_dia(A):
 # ---------------------------------------------------------------------------
 
 
+def _is_well(A):
+    from mlamg_tpu.ops.unstructured import WindowedELL
+
+    return isinstance(A, WindowedELL)
+
+
 def spmv(A, x: jax.Array) -> jax.Array:
-    """y = A @ x for CSR/COO/ELL (or dense) A and dense (n,) x."""
+    """y = A @ x for CSR/COO/ELL/DIA/WindowedELL (or dense) A, dense (n,) x."""
     if isinstance(A, jax.Array):
         return A @ x
+    if _is_well(A):
+        from mlamg_tpu.ops.unstructured import well_spmv_pallas
+
+        return well_spmv_pallas(A, x, interpret=jax.default_backend() != "tpu")
     if _is_dia(A):
         from mlamg_tpu.ops.dia import dia_spmv
 
@@ -69,6 +79,12 @@ def spmv_affine(A, x: jax.Array, c: jax.Array | None = None, alpha: float = 1.0)
     residual (r = b - A x via alpha=-1, c=b) collapses to one SpMV.
     Everywhere else XLA fuses the scale/add into the SpMV epilogue.
     """
+    if _is_well(A):
+        from mlamg_tpu.ops.unstructured import well_spmv_pallas
+
+        return well_spmv_pallas(
+            A, x, c=c, alpha=alpha, interpret=jax.default_backend() != "tpu"
+        )
     if _is_dia(A) and A.data.ndim == 3 and jax.default_backend() == "tpu":
         from mlamg_tpu.ops.pallas_kernels import dia_spmv_pallas
 
