@@ -137,8 +137,8 @@ def twolevel_solve(
         return (~done) & (i < max_iter)
 
     def body(state):
-        x, err, i, _ = state
-        x = smooth(x, b, pre_smoothing_steps)
+        x0_, err0_, i0, done = state
+        x = smooth(x0_, b, pre_smoothing_steps)
         r = matmul.spmv_affine(A, x, c=b, alpha=-1.0)  # b - A x, fused
         e_H = coarse.solve(_restrict(P, r))
         x = x + _interp(P, e_H)
@@ -150,10 +150,18 @@ def twolevel_solve(
             if use_res
             else jnp.linalg.norm(x)
         )
-        err = err.at[i].set(e)
-        return x, err, i + 1, e <= tol
+        # freeze converged instances: under vmap (grid/population batching)
+        # the loop runs until every instance converges, and late sweeps must
+        # not advance the already-converged ones (their iters/err history —
+        # and hence the conv-factor readout — would silently change)
+        x = jnp.where(done, x0_, x)
+        err = jnp.where(done, err0_, err0_.at[i0].set(e))
+        i = jnp.where(done, i0, i0 + 1)
+        return x, err, i, done | (e <= tol)
 
-    x, err, iters, _ = jax.lax.while_loop(cond, body, (x0, err0, 0, jnp.bool_(False)))
+    x, err, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, err0, jnp.int32(0), jnp.bool_(False))
+    )
 
     conv = _conv_factor(err, iters)
     return x, conv, err, iters

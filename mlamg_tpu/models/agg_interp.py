@@ -53,9 +53,12 @@ class MPNN(nn.Module):
     def __call__(self, g: GraphData):
         x = g.x  # (n, 1)
         e = g.edge_attr  # (E, Fe)
+        nm = g.node_mask
 
         # input block
-        h = NNConv(1, self.dim, name="node_conv_in")(g, InstanceNorm()(x), jnp.abs(e))
+        h = NNConv(1, self.dim, name="node_conv_in")(
+            g, InstanceNorm()(x, nm), jnp.abs(e)
+        )
         x = nn.relu(h) + x  # broadcast (n,1) -> (n,dim)
         e_new = EdgeModel(self.dim, 2, name="edge_conv_in")(
             gather_src(g, x), gather_dst(g, x), e
@@ -65,7 +68,7 @@ class MPNN(nn.Module):
         # internal residual blocks
         for i in range(self.num_internal_conv):
             h = NNConv(self.dim, self.dim, name=f"node_conv_{i}")(
-                g, InstanceNorm()(x), e
+                g, InstanceNorm()(x, nm), e
             )
             x = nn.relu(h) + x
             e_new = EdgeModel(self.dim, 2, name=f"edge_conv_{i}")(
@@ -75,7 +78,7 @@ class MPNN(nn.Module):
 
         # output heads
         x = nn.relu(
-            NNConv(self.dim, 1, name="node_conv_out")(g, InstanceNorm()(x), e)
+            NNConv(self.dim, 1, name="node_conv_out")(g, InstanceNorm()(x, nm), e)
         )
         e = nn.relu(
             EdgeModel(self.dim, 1, name="edge_conv_out")(
@@ -83,6 +86,24 @@ class MPNN(nn.Module):
             )
         )
         return x, e
+
+
+def pad_aware_scores(scores: jax.Array, k: int, pad=None) -> jax.Array:
+    """Score masking for shape-bucket padding.
+
+    With ``pad = (n_real, k_real)`` (traced scalars), the k-entry top-k must
+    select exactly ``k_real`` *real* nodes; the remaining ``k - k_real``
+    slots are pinned to designated padding nodes (ids n_real ..
+    n_real + k - k_real), whose aggregates stay disconnected from the real
+    block and cannot affect the solve.  Without ``pad`` this is identity.
+    """
+    if pad is None:
+        return scores
+    n_real, k_real = pad
+    nid = jnp.arange(scores.shape[0])
+    big = jnp.asarray(1e30, scores.dtype)
+    pad_hot = (nid >= n_real) & (nid < n_real + (k - k_real))
+    return jnp.where(nid < n_real, scores, jnp.where(pad_hot, big, -big))
 
 
 class AggBinarizationLayer(nn.Module):
@@ -93,16 +114,16 @@ class AggBinarizationLayer(nn.Module):
     num_conv: int = 6
 
     @nn.compact
-    def __call__(self, g: GraphData, x: jax.Array, k: int):
+    def __call__(self, g: GraphData, x: jax.Array, k: int, pad=None):
         ew = g.edge_attr[:, 0]
         for i in range(self.num_conv):
             out_dim = self.dim
             head = 1 if i == self.num_conv - 1 else self.dim
-            x = InstanceNorm()(x)
+            x = InstanceNorm()(x, g.node_mask)
             x = TAGConv(out_dim, name=f"tag_{i}")(g, x, ew)
             x = nn.relu(x)
             x = MLP([self.dim] * 4 + [head], name=f"mlp_{i}")(x)
-        scores = x[:, 0]
+        scores = pad_aware_scores(x[:, 0], k, pad)
         return topk_mask(scores, k)[:, None], scores
 
 
@@ -114,14 +135,15 @@ class AggNet(nn.Module):
     num_conv: int = 6
 
     @nn.compact
-    def __call__(self, g: GraphData, k: int, return_intermediate: bool = False):
+    def __call__(self, g: GraphData, k: int, return_intermediate: bool = False,
+                 pad=None):
         x = g.x
         scores = None
         masks = []
         for i in range(self.iterations):
             x, scores = AggBinarizationLayer(
                 self.dim, self.num_conv, name=f"layer_{i}"
-            )(g, x, k)
+            )(g, x, k, pad=pad)
             masks.append(x[:, 0])
         if return_intermediate:
             # role of the reference's all_intermediate_topk (agg_interp.py:248-254)
@@ -156,13 +178,21 @@ class FullAggNet(nn.Module):
         _, p_edges = self.PNet(g2)
         return _phat_times_agg(A, p_edges[:, 0], agg_id, k)
 
-    def __call__(self, A: CSR, k: int):
-        """Full pipeline. Returns (agg_id, P (CSR n x k), C, centers, scores)."""
+    def __call__(self, A: CSR, k: int, pad=None):
+        """Full pipeline. Returns (agg_id, P (CSR n x k), C, centers, scores).
+
+        ``pad = (n_real, k_real)`` enables shape-bucket padding: A holds a
+        real grid in its leading n_real rows plus identity padding rows;
+        exactly k_real centers land on real nodes (see pad_aware_scores) and
+        padding rows get unit P entries so the coarse operator stays
+        block-diagonal and nonsingular.
+        """
         n = A.shape[0]
-        g = graph_from_matrix_basic(A)
+        n_real = None if pad is None else pad[0]
+        g = graph_from_matrix_basic(A, n_real=n_real)
 
         # 1. node scores -> centers
-        node_mask, scores = self.AggNetM(g, k)
+        node_mask, scores = self.AggNetM(g, k, pad=pad)
         centers = topk_indices(scores, k)
 
         # 2. learned Bellman-Ford weights on A's pattern
@@ -174,9 +204,9 @@ class FullAggNet(nn.Module):
         agg_id = nearest_center_to_agg(centers, nearest)
 
         # 4. interpolation smoother on the 2-feature graph
-        g2 = graph_from_matrix(A, agg_id)
+        g2 = graph_from_matrix(A, agg_id, n_real=n_real)
         _, p_edges = self.PNet(g2)
-        P = _phat_times_agg(A, p_edges[:, 0], agg_id, k)
+        P = _phat_times_agg(A, p_edges[:, 0], agg_id, k, n_real=n_real)
         return agg_id, P, C, centers, node_mask
 
 
@@ -192,11 +222,11 @@ class AggOnlyNet(nn.Module):
         self.AggNetM = AggNet(self.dim, iterations=self.iterations, num_conv=self.num_conv)
         self.CNet = MPNN(self.dim, num_internal_conv=5, input_edge_features=1)
 
-    def __call__(self, A: CSR, k: int):
+    def __call__(self, A: CSR, k: int, pad=None):
         from mlamg_tpu.mg.interp import smoothed_aggregation
 
-        g = graph_from_matrix_basic(A)
-        node_mask, scores = self.AggNetM(g, k)
+        g = graph_from_matrix_basic(A, n_real=None if pad is None else pad[0])
+        node_mask, scores = self.AggNetM(g, k, pad=pad)
         centers = topk_indices(scores, k)
         _, bf_edges = self.CNet(g)
         C = A.with_data(jnp.where(A.mask, bf_edges[:, 0], 0.0))
@@ -206,10 +236,17 @@ class AggOnlyNet(nn.Module):
         return agg_id, P, C, centers, node_mask
 
 
-def _phat_times_agg(A: CSR, phat_data: jax.Array, agg_id: jax.Array, k: int) -> CSR:
+def _phat_times_agg(A: CSR, phat_data: jax.Array, agg_id: jax.Array, k: int,
+                    n_real=None) -> CSR:
     """P = P_hat @ Agg without an SpGEMM: P_hat has A's pattern and Agg is a
     column selection, so P is A's pattern with columns remapped to aggregate
-    ids (duplicates within a row sum implicitly in every product)."""
+    ids (duplicates within a row sum implicitly in every product).
+
+    With shape-bucket padding (``n_real``), padding rows get value 1.0: the
+    padding block of P^T A P is then a unit diagonal regardless of the PNet
+    output (a ReLU-zero there would make the coarse LU singular and poison
+    the whole padded solve with NaNs).
+    """
     n = A.shape[0]
     live = A.mask
     new_col = agg_id[A.col].astype(jnp.int32)
@@ -217,6 +254,10 @@ def _phat_times_agg(A: CSR, phat_data: jax.Array, agg_id: jax.Array, k: int) -> 
     row = jnp.where(live & assigned, A.row, n)
     col = jnp.where(live & assigned, new_col, 0)
     data = jnp.where(live & assigned, phat_data, 0.0)
+    if n_real is not None:
+        rsafe = jnp.minimum(A.row, n - 1)
+        is_pad_row = rsafe >= n_real
+        data = jnp.where(live & assigned & is_pad_row, 1.0, data)
     return CSR(data, row, col, A.indptr, (n, k), A.nnz)
 
 

@@ -39,14 +39,23 @@ class MLP(nn.Module):
 
 class InstanceNorm(nn.Module):
     """Graph-wise feature normalization (role of tg.nn.norm.InstanceNorm,
-    affine=False): zero mean / unit variance over the node axis."""
+    affine=False): zero mean / unit variance over the node axis.
+
+    With ``mask`` (shape-bucket padding), statistics run over real nodes
+    only so padded grids reproduce the unpadded outputs on real nodes."""
 
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
-        mean = jnp.mean(x, axis=0, keepdims=True)
-        var = jnp.var(x, axis=0, keepdims=True)
+    def __call__(self, x, mask=None):
+        if mask is None:
+            mean = jnp.mean(x, axis=0, keepdims=True)
+            var = jnp.var(x, axis=0, keepdims=True)
+        else:
+            m = mask.astype(x.dtype)[:, None]
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=0, keepdims=True) / cnt
+            var = jnp.sum(m * (x - mean) ** 2, axis=0, keepdims=True) / cnt
         return (x - mean) * jax.lax.rsqrt(var + self.eps)
 
 
