@@ -1,0 +1,149 @@
+"""Train/evaluate the convergence-factor predictor.
+
+Driver for models.convergence.ConvergencePredictor (role of the training
+workflow around the reference's ns/model/convergence.py:64-148, whose
+MeshDataset feeds pickled splittings + .mat matrices to a TAGConv
+regressor).  Labels are first-party: for every grid, several random-seed
+Lloyd+SA splittings are built and their *measured* two-level convergence
+factors regressed.
+
+    python -m mlamg_tpu.cli.train_convergence data/ds_iso --epochs 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.cli.common import force_platform
+
+
+def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
+    """[(A CSR, node_feats (n,2), conv label)] via random-seed Lloyd-SA."""
+    from mlamg_tpu.ops import CSR
+    from mlamg_tpu.train import GridBundle, SolveOptions, measured_conv
+    from mlamg_tpu.graph.lloyd import lloyd_aggregation
+    from mlamg_tpu.graph.strength import strength_measure
+    from mlamg_tpu.mg.interp import sa_interpolation_dense
+
+    opts = SolveOptions()
+    samples = []
+    key = jax.random.PRNGKey(seed)
+    for g in grids:
+        b = GridBundle.from_grid(g, alpha)
+        C = strength_measure(b.A, "abs", width=b.width)
+        for _ in range(per_grid):
+            key, sub = jax.random.split(key)
+            agg_id, roots, _ = lloyd_aggregation(C, ratio=alpha, key=sub)
+            P = sa_interpolation_dense(b.A, agg_id, b.k)
+            conv = float(measured_conv(b.A, P, b.x0, opts))
+            n = b.A.shape[0]
+            is_center = np.zeros(n, np.float32)
+            is_center[np.asarray(roots)] = 1.0
+            feats = np.stack(
+                [np.full(n, 1.0 / n, np.float32), is_center], axis=1
+            )
+            samples.append((b.A, jnp.asarray(feats), conv))
+    return samples
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train the convergence predictor")
+    p.add_argument("system", type=str, help="folder with .grid files")
+    p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--per-grid", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--dims", type=int, nargs="+", default=[16, 32, 16])
+    p.add_argument("--K", type=int, default=10)
+    p.add_argument("--test-frac", type=float, default=0.25)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default=None, help="write metrics JSON")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args(argv)
+    force_platform(args.platform)
+
+    import optax
+    from mlamg_tpu.data import Grid
+    from mlamg_tpu.models.convergence import ConvergencePredictor
+    from mlamg_tpu.models.graphdata import graph_from_matrix_node_vals
+    from mlamg_tpu.utils import save_checkpoint
+
+    grids = Grid.load_dir(args.system)
+    samples = build_samples(grids, args.alpha, args.per_grid, args.seed)
+    rng = np.random.RandomState(args.seed)
+    order = rng.permutation(len(samples))
+    n_test = max(1, int(len(samples) * args.test_frac))
+    test_idx, train_idx = order[:n_test], order[n_test:]
+    print(f"{len(train_idx)} train / {len(test_idx)} test samples")
+
+    net = ConvergencePredictor(dims=tuple(args.dims), K=args.K)
+    A0, f0, _ = samples[0]
+    params = net.init(
+        jax.random.PRNGKey(args.seed), graph_from_matrix_node_vals(A0, f0)
+    )
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, A, feats, label):
+        def loss_fn(p):
+            pred = net.apply(p, graph_from_matrix_node_vals(A, feats))
+            return (pred - label) ** 2
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def predict(params, A, feats):
+        return net.apply(params, graph_from_matrix_node_vals(A, feats))
+
+    def evaluate(idx):
+        preds, labels = [], []
+        for i in idx:
+            A, feats, label = samples[i]
+            preds.append(float(predict(params, A, feats)))
+            labels.append(label)
+        preds, labels = np.asarray(preds), np.asarray(labels)
+        mse = float(np.mean((preds - labels) ** 2))
+        if len(idx) > 2 and np.std(preds) > 0 and np.std(labels) > 0:
+            corr = float(np.corrcoef(preds, labels)[0, 1])
+        else:
+            corr = float("nan")
+        return mse, corr
+
+    for epoch in range(args.epochs):
+        rng.shuffle(train_idx)
+        tot = 0.0
+        for i in train_idx:
+            A, feats, label = samples[i]
+            params, opt_state, loss = step(params, opt_state, A, feats, label)
+            tot += float(loss)
+        if (epoch + 1) % 5 == 0 or epoch == args.epochs - 1:
+            mse, corr = evaluate(test_idx)
+            print(
+                f"epoch {epoch + 1}: train mse {tot / len(train_idx):.5f}  "
+                f"test mse {mse:.5f}  test corr {corr:.3f}",
+                flush=True,
+            )
+
+    mse, corr = evaluate(test_idx)
+    result = {"test_mse": mse, "test_corr": corr,
+              "n_train": len(train_idx), "n_test": len(test_idx)}
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f)
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, params=params)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -77,8 +77,16 @@ def fgmres(
 
     ``M`` may change between applications (e.g. an AMG cycle run to a
     tolerance) — the flexible variant stores Z = M(V) explicitly.
-    Returns (x, res_history, total_iters); history has one entry per outer
-    (restart) cycle.
+
+    Deployment-grade internals (PETSc KSPFGMRES semantics): the Arnoldi
+    factorization is kept upper-triangular with Givens rotations, so the
+    residual norm is available at every *inner* step for free; the inner
+    loop exits on convergence or (happy) breakdown instead of always
+    running ``restart`` steps, and the final y solves the triangular
+    system by masked back-substitution (no per-cycle lstsq).
+
+    Returns (x, res_history, total_iters); history has one entry per inner
+    iteration (zeros beyond ``total_iters``).
     """
     n = b.shape[0]
     x0 = jnp.zeros_like(b) if x0 is None else x0
@@ -90,49 +98,97 @@ def fgmres(
     def arnoldi_cycle(x):
         r = b - _mv(A, x)
         beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(
+            r / jnp.where(beta > 0, beta, 1.0)
+        )
         Z = jnp.zeros((m, n), b.dtype)
-        H = jnp.zeros((m + 1, m), b.dtype)
+        R = jnp.zeros((m + 1, m), b.dtype)  # rotated (triangular) H
+        cs = jnp.zeros((m,), b.dtype)
+        sn = jnp.zeros((m,), b.dtype)
+        g = jnp.zeros((m + 1,), b.dtype).at[0].set(beta)
+        res0 = jnp.zeros((m,), b.dtype)
 
-        def arnoldi_step(j, carry):
-            V, Z, H = carry
+        def cond(carry):
+            _, _, _, _, _, _, j, done, _ = carry
+            return (~done) & (j < m)
+
+        def step(carry):
+            V, Z, R, cs, sn, g, j, _, res = carry
             z = M(V[j])
             w = _mv(A, z)
+
             # modified Gram-Schmidt against v_0..v_j (mask the rest)
             def mgs(i, carry):
-                w, H = carry
+                w, h = carry
                 keep = i <= j
-                h = jnp.where(keep, jnp.vdot(V[i], w), 0.0)
-                return w - h * V[i], H.at[i, j].set(h)
+                hi = jnp.where(keep, jnp.vdot(V[i], w), 0.0)
+                return w - hi * V[i], h.at[i].set(hi)
 
-            w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+            w, h = jax.lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros((m + 1,), b.dtype))
+            )
             hnext = jnp.linalg.norm(w)
-            H = H.at[j + 1, j].set(hnext)
+            h = h.at[j + 1].set(hnext)
             V = V.at[j + 1].set(w / jnp.where(hnext > 1e-30, hnext, 1.0))
             Z = Z.at[j].set(z)
-            return V, Z, H
 
-        V, Z, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, Z, H))
-        # least squares min ||beta e1 - H y||
-        e1 = jnp.zeros((m + 1,), b.dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1, rcond=None)
+            # apply the previous rotations to the new column
+            def rot(i, h):
+                keep = i < j
+                hi = jnp.where(keep, cs[i] * h[i] + sn[i] * h[i + 1], h[i])
+                hi1 = jnp.where(keep, -sn[i] * h[i] + cs[i] * h[i + 1], h[i + 1])
+                return h.at[i].set(hi).at[i + 1].set(hi1)
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+            # new rotation annihilating h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            dsafe = jnp.where(denom > 0, denom, 1.0)
+            c = jnp.where(denom > 0, h[j] / dsafe, 1.0)
+            s = jnp.where(denom > 0, h[j + 1] / dsafe, 0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
+            R = R.at[:, j].set(h)
+            gj = g[j]
+            g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+            rnorm = jnp.abs(g[j + 1])
+            res = res.at[j].set(rnorm)
+            done = (rnorm <= stop) | (hnext <= 1e-30)
+            return V, Z, R, cs, sn, g, j + 1, done, res
+
+        V, Z, R, cs, sn, g, j_used, done, res = jax.lax.while_loop(
+            cond, step,
+            (V, Z, R, cs, sn, g, 0, beta <= stop, res0),
+        )
+
+        # masked back-substitution: R[:j_used, :j_used] y = g[:j_used]
+        def back(t, y):
+            i = m - 1 - t
+            active = i < j_used
+            s = g[i] - jnp.dot(R[i, :], y)
+            rii = R[i, i]
+            yi = s / jnp.where(jnp.abs(rii) > 1e-30, rii, 1.0)
+            return y.at[i].set(jnp.where(active, yi, 0.0))
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), b.dtype))
         x = x + Z.T @ y
-        return x
+        return x, j_used, res, done & (jnp.abs(g[jnp.minimum(j_used, m)]) <= stop)
 
-    hist0 = jnp.zeros((max_restarts,), b.dtype)
+    hist0 = jnp.zeros((max_restarts * m,), b.dtype)
 
     def cond(state):
-        _, i, done, _ = state
+        _, i, _, done, _ = state
         return (~done) & (i < max_restarts)
 
     def body(state):
-        x, i, _, hist = state
-        x = arnoldi_cycle(x)
+        x, i, iters, _, hist = state
+        x, j_used, res, _ = arnoldi_cycle(x)
+        idx = iters + jnp.arange(m)
+        hist = hist.at[idx].set(jnp.where(jnp.arange(m) < j_used, res, 0.0))
         rn = jnp.linalg.norm(b - _mv(A, x))
-        hist = hist.at[i].set(rn)
-        return x, i + 1, rn <= stop, hist
+        return x, i + 1, iters + j_used, rn <= stop, hist
 
-    x, outers, _, hist = jax.lax.while_loop(
-        cond, body, (x0, 0, jnp.bool_(False), hist0)
+    x, outers, iters, _, hist = jax.lax.while_loop(
+        cond, body, (x0, 0, 0, jnp.bool_(False), hist0)
     )
-    return x, hist, outers * m
+    return x, hist, iters

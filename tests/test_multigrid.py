@@ -352,6 +352,26 @@ class TestKrylov:
         x, hist, iters = fgmres(Ac, jnp.asarray(b), restart=20, tol=1e-10)
         np.testing.assert_allclose(np.asarray(x), x_star, atol=1e-6)
 
+    def test_fgmres_inner_early_exit(self, rng):
+        # well-conditioned system: must converge in far fewer inner steps
+        # than restart*max_restarts, with a per-inner-iteration history
+        n = 60
+        A = sp.csr_matrix(sp.eye(n) + 0.01 * sp.random(n, n, density=0.2,
+                                                       random_state=rng))
+        Ac = CSR.from_scipy(A, dtype=jnp.float64)
+        x_star = rng.randn(n)
+        b = A @ x_star
+        x, hist, iters = fgmres(
+            Ac, jnp.asarray(b), restart=50, max_restarts=4, tol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(x), x_star, atol=1e-9)
+        assert int(iters) < 25  # early exit inside the first cycle
+        h = np.asarray(hist)
+        live = h[: int(iters)]
+        assert np.all(live > 0)  # per-iteration residual estimates recorded
+        assert np.all(np.diff(live) <= 1e-12)  # GMRES residual is monotone
+        assert np.all(h[int(iters):] == 0)
+
 
 class TestCoarseSolver:
     def test_plain(self, rng):
