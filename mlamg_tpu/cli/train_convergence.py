@@ -141,7 +141,7 @@ def main(argv=None):
         with open(args.out, "w") as f:
             json.dump(result, f)
     if args.checkpoint:
-        save_checkpoint(args.checkpoint, params=params)
+        save_checkpoint(args.checkpoint, generation=args.epochs, best_params=params)
     return result
 
 
