@@ -41,7 +41,18 @@ def main(argv=None):
     p.add_argument("--num-conv", type=int, default=2)
     p.add_argument("--iterations", type=int, default=2)
     p.add_argument("--out", type=str, default="data_out")
+    p.add_argument("--ablations", type=parse_bool_str, default=False,
+                   help="also evaluate ML-aggregation-only and "
+                        "ML-interpolation-only (reference tex/6_1_22 table)")
+    p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--compile-cache", type=str, default=None)
     args = p.parse_args(argv)
+    from mlamg_tpu.cli.common import force_platform
+
+    force_platform(args.platform)
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     opts = SolveOptions(res_tol=args.res_tol, max_iter=args.max_iter)
     grids = Grid.load_dir(args.system)
@@ -65,12 +76,61 @@ def main(argv=None):
         results["ml"] = evaluate_model_on_bundles(net, params, bundles, opts)
         print(f"ml:     mean conv {results['ml'].mean():.4f} ({time.time()-t:.1f}s)")
 
+        if args.ablations:
+            from functools import partial
+            from mlamg_tpu.train import measured_conv
+            from mlamg_tpu.graph.lloyd import lloyd_aggregation
+            from mlamg_tpu.graph.strength import strength_measure
+            from mlamg_tpu.mg.interp import sa_interpolation_dense
+
+            @partial(jax.jit, static_argnames=("k", "width"))
+            def agg_only_conv(params, A, x0, k, width):
+                agg_id = net.apply(params, A, k, method="agg_only")
+                P = sa_interpolation_dense(A, agg_id, k)
+                return measured_conv(A, P, x0, opts)
+
+            @partial(jax.jit, static_argnames=("k", "width"))
+            def int_only_conv(params, A, x0, k, width):
+                C = strength_measure(A, args.strength_measure, width=width)
+                from mlamg_tpu.graph.lloyd import _lloyd_core
+
+                seeds = jax.random.permutation(jax.random.PRNGKey(0), A.shape[0])[:k]
+                agg_id, _ = _lloyd_core(C, seeds.astype(jnp.int32), 10)
+                P = net.apply(params, A, agg_id, k, method="int_only")
+                return measured_conv(A, P, x0, opts)
+
+            t = time.time()
+            results["ml_agg_only"] = np.asarray(
+                [float(agg_only_conv(params, b.A, b.x0, b.k, b.width)) for b in bundles]
+            )
+            print(f"ml-agg: mean conv {results['ml_agg_only'].mean():.4f} "
+                  f"({time.time()-t:.1f}s)")
+            t = time.time()
+            results["ml_int_only"] = np.asarray(
+                [float(int_only_conv(params, b.A, b.x0, b.k, b.width)) for b in bundles]
+            )
+            print(f"ml-int: mean conv {results['ml_int_only'].mean():.4f} "
+                  f"({time.time()-t:.1f}s)")
+
     os.makedirs(args.out, exist_ok=True)
     name = os.path.basename(os.path.normpath(args.system))
     out_path = os.path.join(args.out, f"eval_{name}_alpha{args.alpha}.pkl")
     with open(out_path, "wb") as f:
         pickle.dump(results, f)
-    print(f"saved {out_path}")
+    # JSON summary next to the pickle (means; machine-checkable artifact)
+    import json
+
+    summary = {
+        k: float(np.mean(v)) for k, v in results.items()
+        if isinstance(v, np.ndarray)
+    }
+    summary.update({"n_grids": len(bundles), "system": args.system,
+                    "alpha": args.alpha, "model": args.model or ""})
+    json_path = out_path.replace(".pkl", ".json")
+    with open(json_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"saved {out_path} and {json_path}")
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
