@@ -24,17 +24,25 @@ def force_platform(platform: str | None):
         jax.config.update("jax_platforms", platform)
 
 
-def load_dataset(system: str, alpha: float, dtype):
-    """Load train/test .grid dirs (reference train_dataset.py:62-69)."""
+def load_dataset_grids(system: str):
+    """Load raw train/test Grids from .grid dirs
+    (reference train_dataset.py:62-69)."""
     import os
 
     train_dir = os.path.join(system, "train")
     test_dir = os.path.join(system, "test")
     if not (os.path.exists(train_dir) and os.path.exists(test_dir)):
         train_dir = test_dir = system
-    train = [GridBundle.from_grid(g, alpha, dtype) for g in Grid.load_dir(train_dir)]
-    test = [GridBundle.from_grid(g, alpha, dtype) for g in Grid.load_dir(test_dir)]
-    return train, test
+    return Grid.load_dir(train_dir), Grid.load_dir(test_dir)
+
+
+def load_dataset(system: str, alpha: float, dtype):
+    """Load train/test .grid dirs as GridBundles."""
+    train, test = load_dataset_grids(system)
+    return (
+        [GridBundle.from_grid(g, alpha, dtype) for g in train],
+        [GridBundle.from_grid(g, alpha, dtype) for g in test],
+    )
 
 
 def compute_reference_convs(bundles, strength_measure: str, opts: SolveOptions):
@@ -52,7 +60,11 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--alpha", type=float, default=0.1, help="coarsening ratio")
     parser.add_argument("--start-generation", type=int, default=0)
     parser.add_argument("--start-model", type=str, default=None)
-    parser.add_argument("--strength-measure", default="abs", choices=STRENGTH_MEASURES)
+    parser.add_argument("--strength-measure", default="olson",
+                        choices=STRENGTH_MEASURES,
+                        help="strength for the Lloyd benchmark; the "
+                             "reference's published baselines use 'olson' "
+                             "(utils/evaluate_dataset.py:76)")
     parser.add_argument("--greedy", default=False, type=parse_bool_str)
     parser.add_argument("--batched", default=False, type=parse_bool_str)
     parser.add_argument("--compute-test-loss", default=True, type=parse_bool_str)
@@ -63,9 +75,23 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--post-smooth", type=int, default=1)
     parser.add_argument("--res-tol", type=float, default=1e-6)
     parser.add_argument("--max-iter", type=int, default=300)
+    parser.add_argument("--smoother", default="multicolor_gs",
+                        choices=["jacobi", "multicolor_gs", "chebyshev"],
+                        help="two-level smoother inside the fitness measure; "
+                             "multicolor_gs matches the reference amg_2_v's "
+                             "Gauss-Seidel (ns/lib/multigrid.py:175)")
+    parser.add_argument("--error-norm", type=parse_bool_str, default=True,
+                        help="stop on ||x|| (error norm, b=0) like the "
+                             "reference trainer (error_tol=1e-6, "
+                             "utils/train_dataset.py:114)")
     parser.add_argument("--dim", type=int, default=8, help="model hidden dim")
     parser.add_argument("--num-conv", type=int, default=2)
     parser.add_argument("--iterations", type=int, default=2)
+    parser.add_argument("--bucketed", type=parse_bool_str, default=True,
+                        help="evaluate fitness as one program per shape bucket "
+                             "instead of one per grid")
+    parser.add_argument("--bucket-step", type=int, default=64,
+                        help="grids are padded to n rounded up to this step")
     parser.add_argument("--mesh-pop", type=int, default=0,
                         help="shard population fitness over this many devices (0 = no mesh)")
     parser.add_argument("--init-perturb", type=float, default=0.5,

@@ -34,9 +34,16 @@ def main(argv=None):
     p.add_argument("system", type=str)
     p.add_argument("--model", type=str, default=None, help="checkpoint file")
     p.add_argument("--alpha", type=float, default=0.1)
-    p.add_argument("--strength-measure", default="abs", choices=STRENGTH_MEASURES)
+    p.add_argument("--strength-measure", default="olson", choices=STRENGTH_MEASURES,
+                   help="reference's published Lloyd/dumb baselines use olson "
+                        "(utils/evaluate_dataset.py:76,84)")
     p.add_argument("--res-tol", type=float, default=1e-6)
     p.add_argument("--max-iter", type=int, default=300)
+    p.add_argument("--smoother", default="multicolor_gs",
+                   choices=["jacobi", "multicolor_gs", "chebyshev"],
+                   help="reference amg_2_v smooths with Gauss-Seidel; "
+                        "multicolor_gs is the parallel equivalent")
+    p.add_argument("--float64", type=parse_bool_str, default=False)
     p.add_argument("--dim", type=int, default=8)
     p.add_argument("--num-conv", type=int, default=2)
     p.add_argument("--iterations", type=int, default=2)
@@ -54,9 +61,13 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    opts = SolveOptions(res_tol=args.res_tol, max_iter=args.max_iter)
+    dtype = jnp.float64 if args.float64 else jnp.float32
+    if args.float64:
+        jax.config.update("jax_enable_x64", True)
+    opts = SolveOptions(res_tol=args.res_tol, max_iter=args.max_iter,
+                        smoother=args.smoother)
     grids = Grid.load_dir(args.system)
-    bundles = [GridBundle.from_grid(g, args.alpha) for g in grids]
+    bundles = [GridBundle.from_grid(g, args.alpha, dtype) for g in grids]
     print(f"{len(bundles)} grids")
 
     results = {"alpha": args.alpha, "system": args.system}
@@ -66,7 +77,10 @@ def main(argv=None):
     )
     print(f"lloyd:  mean conv {results['lloyd'].mean():.4f} ({time.time()-t:.1f}s)")
     t = time.time()
-    results["random"] = np.asarray([random_reference_conv(b, opts=opts) for b in bundles])
+    results["random"] = np.asarray(
+        [random_reference_conv(b, opts=opts, strength_kind=args.strength_measure)
+         for b in bundles]
+    )
     print(f"random: mean conv {results['random'].mean():.4f} ({time.time()-t:.1f}s)")
 
     if args.model:
@@ -83,31 +97,35 @@ def main(argv=None):
             from mlamg_tpu.graph.strength import strength_measure
             from mlamg_tpu.mg.interp import sa_interpolation_dense
 
-            @partial(jax.jit, static_argnames=("k", "width"))
-            def agg_only_conv(params, A, x0, k, width):
+            @partial(jax.jit, static_argnames=("k", "width", "num_colors"))
+            def agg_only_conv(params, A, x0, colors, k, width, num_colors):
                 agg_id = net.apply(params, A, k, method="agg_only")
                 P = sa_interpolation_dense(A, agg_id, k)
-                return measured_conv(A, P, x0, opts)
+                return measured_conv(A, P, x0, opts, colors=colors,
+                                     num_colors=num_colors)
 
-            @partial(jax.jit, static_argnames=("k", "width"))
-            def int_only_conv(params, A, x0, k, width):
+            @partial(jax.jit, static_argnames=("k", "width", "num_colors"))
+            def int_only_conv(params, A, x0, colors, k, width, num_colors):
                 C = strength_measure(A, args.strength_measure, width=width)
                 from mlamg_tpu.graph.lloyd import _lloyd_core
 
                 seeds = jax.random.permutation(jax.random.PRNGKey(0), A.shape[0])[:k]
                 agg_id, _ = _lloyd_core(C, seeds.astype(jnp.int32), 10)
                 P = net.apply(params, A, agg_id, k, method="int_only")
-                return measured_conv(A, P, x0, opts)
+                return measured_conv(A, P, x0, opts, colors=colors,
+                                     num_colors=num_colors)
 
             t = time.time()
             results["ml_agg_only"] = np.asarray(
-                [float(agg_only_conv(params, b.A, b.x0, b.k, b.width)) for b in bundles]
+                [float(agg_only_conv(params, b.A, b.x0, b.colors, b.k,
+                                     b.width, b.num_colors)) for b in bundles]
             )
             print(f"ml-agg: mean conv {results['ml_agg_only'].mean():.4f} "
                   f"({time.time()-t:.1f}s)")
             t = time.time()
             results["ml_int_only"] = np.asarray(
-                [float(int_only_conv(params, b.A, b.x0, b.k, b.width)) for b in bundles]
+                [float(int_only_conv(params, b.A, b.x0, b.colors, b.k,
+                                     b.width, b.num_colors)) for b in bundles]
             )
             print(f"ml-int: mean conv {results['ml_int_only'].mean():.4f} "
                   f"({time.time()-t:.1f}s)")

@@ -19,13 +19,19 @@ import jax.numpy as jnp
 
 from mlamg_tpu.cli.common import (
     add_training_args,
-    load_dataset,
+    load_dataset_grids,
     compute_reference_convs,
     force_platform,
 )
 from mlamg_tpu.models import FullAggNet
 from mlamg_tpu.ga import ParallelGA, GAConfig, flatten_params, init_population
-from mlamg_tpu.train import SolveOptions, make_population_fitness, evaluate_model_on_bundles
+from mlamg_tpu.train import (
+    GridBundle,
+    SolveOptions,
+    make_buckets,
+    make_population_fitness,
+    make_population_fitness_bucketed,
+)
 from mlamg_tpu.utils import Profiler, MetricsWriter, save_checkpoint, load_checkpoint
 
 
@@ -46,17 +52,28 @@ def main(argv=None):
     opts = SolveOptions(
         res_tol=args.res_tol, max_iter=args.max_iter,
         pre_smooth=args.pre_smooth, post_smooth=args.post_smooth,
+        smoother=args.smoother, use_error_norm=args.error_norm,
     )
-    train, test = load_dataset(args.system, args.alpha, dtype)
+    train_grids, test_grids = load_dataset_grids(args.system)
+    if args.bucketed:
+        train, train_buckets = make_buckets(
+            train_grids, args.alpha, dtype, step=args.bucket_step
+        )
+        test, test_buckets = make_buckets(
+            test_grids, args.alpha, dtype, step=args.bucket_step
+        )
+    else:
+        train = [GridBundle.from_grid(g, args.alpha, dtype) for g in train_grids]
+        test = [GridBundle.from_grid(g, args.alpha, dtype) for g in test_grids]
     print(f"loaded {len(train)} train / {len(test)} test grids")
 
     if args.evaluate_bench_loss:
         with Profiler("lloyd benchmark"):
             tb = compute_reference_convs(train, args.strength_measure, opts)
-            print(f"train Lloyd benchmark conv: {tb.mean():.4f}")
+            print(f"train Lloyd benchmark conv: {tb.mean():.4f}", flush=True)
             if args.compute_test_loss:
                 teb = compute_reference_convs(test, args.strength_measure, opts)
-                print(f"test Lloyd benchmark conv: {teb.mean():.4f}")
+                print(f"test Lloyd benchmark conv: {teb.mean():.4f}", flush=True)
 
     net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations)
     params = net.init(jax.random.PRNGKey(0), train[0].A, train[0].k)
@@ -73,11 +90,17 @@ def main(argv=None):
 
         mesh = make_mesh(pop=args.mesh_pop, row=1)
 
-    fitness = make_population_fitness(
-        net, unravel, train, opts,
-        loss_relative=args.loss_relative_measure, mesh=mesh,
-        batch_size=args.batch_size if args.batched else None,
-    )
+    if args.bucketed:
+        fitness = make_population_fitness_bucketed(
+            net, unravel, train, train_buckets, opts,
+            loss_relative=args.loss_relative_measure, mesh=mesh,
+        )
+    else:
+        fitness = make_population_fitness(
+            net, unravel, train, opts,
+            loss_relative=args.loss_relative_measure, mesh=mesh,
+            batch_size=args.batch_size if args.batched else None,
+        )
 
     pop0 = init_population(
         jax.random.PRNGKey(1), vec, args.population_size, perturb=args.init_perturb
@@ -97,9 +120,17 @@ def main(argv=None):
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     writer = MetricsWriter(args.metrics_dir)
 
-    test_fitness = make_population_fitness(
-        net, unravel, test, opts, loss_relative=args.loss_relative_measure
-    ) if args.compute_test_loss else None
+    if not args.compute_test_loss:
+        test_fitness = None
+    elif args.bucketed:
+        test_fitness = make_population_fitness_bucketed(
+            net, unravel, test, test_buckets, opts,
+            loss_relative=args.loss_relative_measure,
+        )
+    else:
+        test_fitness = make_population_fitness(
+            net, unravel, test, opts, loss_relative=args.loss_relative_measure
+        )
 
     def report(final: bool = False):
         best, fit, _ = ga.best_solution()

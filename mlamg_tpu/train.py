@@ -34,6 +34,15 @@ class SolveOptions:
     post_smooth: int = 1
     jacobi_weight: float = 0.666
     singular: bool = False
+    # "jacobi" | "multicolor_gs" | "chebyshev".  The reference's amg_2_v
+    # smooths with sequential Gauss-Seidel (ns/lib/multigrid.py:175,184);
+    # multicolor_gs is the TPU-parallel equivalent, used for parity with
+    # the reference's published convergence factors.
+    smoother: str = "jacobi"
+    # measure ||x|| (error norm; b = 0) instead of the residual norm —
+    # the reference trainer stops on error_tol=1e-6
+    # (utils/train_dataset.py:114)
+    use_error_norm: bool = False
 
 
 @dataclasses.dataclass
@@ -45,9 +54,13 @@ class GridBundle:
     x0: jax.Array
     width: int
     ref_conv: float = 1.0
+    colors: jax.Array | None = None
+    num_colors: int = 0
 
     @staticmethod
     def from_grid(g: Grid, alpha: float, dtype=jnp.float32) -> "GridBundle":
+        from mlamg_tpu.mg.smoothers import greedy_coloring
+
         A = g.A.tocsr()
         n = A.shape[0]
         k = max(1, int(np.ceil(alpha * n)))
@@ -55,14 +68,25 @@ class GridBundle:
         x0 = np.random.RandomState(0).randn(n)
         x0 /= np.linalg.norm(x0)
         width = int(np.diff(A.indptr).max())
-        return GridBundle(Ac, k, jnp.asarray(x0, dtype), width)
+        colors = greedy_coloring(A)
+        return GridBundle(
+            Ac, k, jnp.asarray(x0, dtype), width,
+            colors=jnp.asarray(colors, jnp.int32),
+            num_colors=int(colors.max()) + 1,
+        )
 
 
-def measured_conv(A: CSR, P, x0, opts: SolveOptions):
+def measured_conv(A: CSR, P, x0, opts: SolveOptions, colors=None, num_colors: int = 0):
     """Convergence factor of the two-level cycle (b = 0, reference
     evaluate_dataset semantics, utils/common.py:40-82)."""
     n = A.shape[0]
     b = jnp.zeros(n, A.data.dtype)
+    smoother_args = None
+    if opts.smoother == "multicolor_gs":
+        if colors is None:
+            raise ValueError("multicolor_gs smoother needs a graph coloring")
+        smoother_args = {"colors": colors, "num_colors": num_colors}
+    use_res = (not opts.singular) and (not opts.use_error_norm)
     _, conv, _, _ = twolevel_solve(
         A,
         P,
@@ -71,10 +95,12 @@ def measured_conv(A: CSR, P, x0, opts: SolveOptions):
         pre_smoothing_steps=opts.pre_smooth,
         post_smoothing_steps=opts.post_smooth,
         jacobi_weight=opts.jacobi_weight,
-        res_tol=opts.res_tol if not opts.singular else None,
-        error_tol=opts.res_tol if opts.singular else None,
+        res_tol=opts.res_tol if use_res else None,
+        error_tol=None if use_res else opts.res_tol,
         max_iter=opts.max_iter,
         singular=opts.singular,
+        smoother=opts.smoother,
+        smoother_args=smoother_args,
     )
     return jnp.where(jnp.isnan(conv), 1.0, conv)
 
@@ -84,9 +110,14 @@ from functools import partial
 
 @partial(
     jax.jit,
-    static_argnames=("k", "strength_kind", "width", "opts_key", "lloyd_maxiter"),
+    static_argnames=(
+        "k", "strength_kind", "width", "opts_key", "lloyd_maxiter", "num_colors"
+    ),
 )
-def _lloyd_ref_core(A, x0, seeds, k, strength_kind, width, opts_key, lloyd_maxiter):
+def _lloyd_ref_core(
+    A, x0, seeds, colors, k, strength_kind, width, opts_key, lloyd_maxiter,
+    num_colors,
+):
     """One fused XLA program: strength -> Lloyd -> SA -> two-level conv.
 
     Keeping the whole benchmark inside a single jit matters doubly on TPU:
@@ -98,7 +129,7 @@ def _lloyd_ref_core(A, x0, seeds, k, strength_kind, width, opts_key, lloyd_maxit
     C = strength_measure(A, strength_kind, width=width)
     agg_id, _ = _lloyd_core(C, seeds, lloyd_maxiter)
     P = sa_interpolation_dense(A, agg_id, k)
-    return measured_conv(A, P, x0, opts)
+    return measured_conv(A, P, x0, opts, colors=colors, num_colors=num_colors)
 
 
 def _opts_key(opts: SolveOptions):
@@ -118,34 +149,47 @@ def lloyd_reference_conv(
     seeds = jax.random.permutation(key, n)[: bundle.k].astype(jnp.int32)
     return float(
         _lloyd_ref_core(
-            A, bundle.x0, seeds, bundle.k, strength_kind, bundle.width,
-            _opts_key(opts), 10,
+            A, bundle.x0, seeds, bundle.colors, bundle.k, strength_kind,
+            bundle.width, _opts_key(opts), 10, bundle.num_colors,
         )
     )
 
 
-@partial(jax.jit, static_argnames=("k", "opts_key"))
-def _random_ref_core(A, x0, centers, k, opts_key):
+@partial(
+    jax.jit, static_argnames=("k", "opts_key", "num_colors", "strength_kind", "width")
+)
+def _random_ref_core(
+    A, x0, centers, colors, k, opts_key, num_colors, strength_kind, width
+):
     from mlamg_tpu.graph.bellman_ford import bellman_ford, nearest_center_to_agg
 
     opts = SolveOptions(*opts_key)
-    unit = A.with_data(jnp.where(A.mask, 1.0, 0.0))
-    _, nearest = bellman_ford(unit, centers)
+    C = strength_measure(A, strength_kind, width=width)
+    _, nearest = bellman_ford(C, centers)
     agg_id = nearest_center_to_agg(centers, nearest)
     P = sa_interpolation_dense(A, agg_id, k)
-    return measured_conv(A, P, x0, opts)
+    return measured_conv(A, P, x0, opts, colors=colors, num_colors=num_colors)
 
 
-def random_reference_conv(bundle: GridBundle, key=None, opts: SolveOptions | None = None) -> float:
-    """'Dumb' baseline: random seeds, unit-distance BF aggregation + SA
-    (role of the random baseline in utils/evaluate_dataset.py:122-141)."""
+def random_reference_conv(
+    bundle: GridBundle, key=None, opts: SolveOptions | None = None,
+    strength_kind: str = "olson",
+) -> float:
+    """'Dumb' baseline: random seeds, strength-weighted BF aggregation + SA
+    (the reference's dumb baseline BFs on the olson strength matrix,
+    utils/evaluate_dataset.py:84-90)."""
     opts = opts or SolveOptions()
     A = bundle.A
     n = A.shape[0]
     if key is None:
         key = jax.random.PRNGKey(42)
     centers = jax.random.permutation(key, n)[: bundle.k].astype(jnp.int32)
-    return float(_random_ref_core(A, bundle.x0, centers, bundle.k, _opts_key(opts)))
+    return float(
+        _random_ref_core(
+            A, bundle.x0, centers, bundle.colors, bundle.k, _opts_key(opts),
+            bundle.num_colors, strength_kind, bundle.width,
+        )
+    )
 
 
 @dataclasses.dataclass
@@ -164,6 +208,8 @@ class BucketStack:
     k_real: jax.Array  # (B,)
     k: int  # bucket-level aggregate count (static)
     idx: np.ndarray  # (B,) indices into the flat bundle list
+    colors: jax.Array | None = None  # (B, n_pad) graph coloring (pad rows 0)
+    num_colors: int = 0  # bucket-level max (static)
 
 
 def make_buckets(grids, alpha: float, dtype=jnp.float32, step: int = 64):
@@ -191,7 +237,7 @@ def make_buckets(grids, alpha: float, dtype=jnp.float32, step: int = 64):
         )
         nnz_pad = ((nnz_pad + 127) // 128) * 128
         k_bucket = max(1, int(np.ceil(alpha * nb)))
-        As, x0s, n_reals, k_reals = [], [], [], []
+        As, x0s, n_reals, k_reals, colorss = [], [], [], [], []
         for i in idxs:
             Ai = sp.csr_matrix(grids[i].A)
             n = Ai.shape[0]
@@ -204,6 +250,9 @@ def make_buckets(grids, alpha: float, dtype=jnp.float32, step: int = 64):
             x0s.append(x0)
             n_reals.append(n)
             k_reals.append(bundles[i].k)
+            col = np.zeros(nb, np.int32)
+            col[:n] = np.asarray(bundles[i].colors)
+            colorss.append(col)
             # the (k_bucket - k_real) designated pad centers must fit in the
             # padding block
             assert 0 <= k_bucket - bundles[i].k <= nb - n, (k_bucket, bundles[i].k, nb, n)
@@ -226,6 +275,8 @@ def make_buckets(grids, alpha: float, dtype=jnp.float32, step: int = 64):
                 jnp.asarray(k_reals, jnp.int32),
                 k_bucket,
                 np.asarray(idxs),
+                colors=jnp.asarray(np.stack(colorss)),
+                num_colors=max(bundles[i].num_colors for i in idxs),
             )
         )
     return bundles, buckets
@@ -252,18 +303,20 @@ def make_population_fitness_bucketed(
     evaluators = []
     for b in buckets:
         def conv_many(pop, b=b):
-            def per_grid(A, x0, n_real, k_real):
+            def per_grid(A, x0, n_real, k_real, colors):
                 def per_vec(vec):
                     params = unravel(vec)
                     _, P, _, _, _ = net.apply(
                         params, A, b.k, pad=(n_real, k_real)
                     )
-                    return measured_conv(A, P, x0, opts)
+                    return measured_conv(
+                        A, P, x0, opts, colors=colors, num_colors=b.num_colors
+                    )
 
                 return jax.vmap(per_vec)(pop)  # (M,)
 
-            return jax.vmap(per_grid, in_axes=(0, 0, 0, 0), out_axes=1)(
-                b.A, b.x0, b.n_real, b.k_real
+            return jax.vmap(per_grid, in_axes=(0, 0, 0, 0, 0), out_axes=1)(
+                b.A, b.x0, b.n_real, b.k_real, b.colors
             )  # (M, B)
 
         if mesh is not None:
@@ -326,7 +379,9 @@ def make_population_fitness(
         def conv_one(vec, b=b):
             params = unravel(vec)
             _, P, _, _, _ = net.apply(params, b.A, b.k)
-            return measured_conv(b.A, P, b.x0, opts)
+            return measured_conv(
+                b.A, P, b.x0, opts, colors=b.colors, num_colors=b.num_colors
+            )
 
         f = jax.vmap(conv_one)
         if mesh is not None:
@@ -372,7 +427,9 @@ def evaluate_model_on_bundles(net, params, bundles, opts: SolveOptions | None = 
         @partial(jax.jit, static_argnames=("k",))
         def one(params, A, x0, k, b=b):
             _, P, _, _, _ = net.apply(params, A, k)
-            return measured_conv(A, P, x0, opts)
+            return measured_conv(
+                A, P, x0, opts, colors=b.colors, num_colors=b.num_colors
+            )
 
         out.append(float(one(params, b.A, b.x0, k=b.k)))
     return np.asarray(out)
