@@ -45,11 +45,61 @@ def load_dataset(system: str, alpha: float, dtype):
     )
 
 
-def compute_reference_convs(bundles, strength_measure: str, opts: SolveOptions):
+def compute_reference_convs(bundles, strength_measure: str, opts: SolveOptions,
+                            grids=None, cache_path: str | None = None):
     """Lloyd benchmark per grid (role of compute_ref_loss,
-    train_dataset.py:164-167)."""
+    train_dataset.py:164-167).
+
+    With ``cache_path`` (and ``grids`` supplying filenames), per-grid convs
+    are memoized on disk keyed by the measurement settings — the benchmark
+    compiles one XLA program per distinct grid shape, so recomputing it on
+    every restart is the single most expensive (and, through the TPU
+    tunnel, least reliable) part of training startup.
+    """
+    import json
+    import os
+
+    settings = {
+        "strength": strength_measure,
+        "res_tol": opts.res_tol,
+        "max_iter": opts.max_iter,
+        "pre": opts.pre_smooth,
+        "post": opts.post_smooth,
+        "smoother": opts.smoother,
+        "error_norm": opts.use_error_norm,
+        "singular": opts.singular,
+    }
+    cache = {}
+    if cache_path and os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                payload = json.load(f)
+            if payload.get("settings") == settings:
+                cache = payload.get("convs", {})
+        except Exception:
+            cache = {}
+
+    def grid_key(i):
+        if grids is None:
+            return None
+        fname = (grids[i].extra or {}).get("filename", "")
+        return os.path.basename(fname) if fname else None
+
+    dirty = False
     for i, b in enumerate(bundles):
+        key = grid_key(i)
+        if key is not None and key in cache:
+            b.ref_conv = cache[key]
+            continue
         b.ref_conv = max(lloyd_reference_conv(b, strength_measure, opts), 1e-6)
+        if key is not None:
+            cache[key] = b.ref_conv
+            dirty = True
+    if cache_path and dirty:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"settings": settings, "convs": cache}, f)
+        os.replace(tmp, cache_path)
     return np.asarray([b.ref_conv for b in bundles])
 
 
@@ -60,6 +110,14 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--alpha", type=float, default=0.1, help="coarsening ratio")
     parser.add_argument("--start-generation", type=int, default=0)
     parser.add_argument("--start-model", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint to restore FULL GA state from "
+                             "(population + fitness + key + generation); "
+                             "--start-model only reseeds around best_params")
+    parser.add_argument("--benchmark-only", action="store_true",
+                        help="compute + cache the Lloyd benchmark, then exit "
+                             "(run this on CPU once so the TPU process never "
+                             "compiles the per-grid benchmark programs)")
     parser.add_argument("--strength-measure", default="olson",
                         choices=STRENGTH_MEASURES,
                         help="strength for the Lloyd benchmark; the "

@@ -69,11 +69,23 @@ def main(argv=None):
 
     if args.evaluate_bench_loss:
         with Profiler("lloyd benchmark"):
-            tb = compute_reference_convs(train, args.strength_measure, opts)
+            cache = lambda sub: os.path.join(
+                args.system, sub, f".ref_convs_{args.strength_measure}.json"
+            ) if os.path.isdir(os.path.join(args.system, sub)) else None
+            tb = compute_reference_convs(
+                train, args.strength_measure, opts,
+                grids=train_grids, cache_path=cache("train"),
+            )
             print(f"train Lloyd benchmark conv: {tb.mean():.4f}", flush=True)
             if args.compute_test_loss:
-                teb = compute_reference_convs(test, args.strength_measure, opts)
+                teb = compute_reference_convs(
+                    test, args.strength_measure, opts,
+                    grids=test_grids, cache_path=cache("test"),
+                )
                 print(f"test Lloyd benchmark conv: {teb.mean():.4f}", flush=True)
+    if args.benchmark_only:
+        print("benchmark-only: reference convs cached, exiting")
+        return
 
     net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations)
     params = net.init(jax.random.PRNGKey(0), train[0].A, train[0].k)
@@ -116,6 +128,14 @@ def main(argv=None):
     )
     ga = ParallelGA(pop0, fitness, cfg, fold_ids=fold_ids)
     ga.num_generation = args.start_generation
+    if args.resume:
+        ck = load_checkpoint(args.resume)
+        ga.population = jnp.asarray(ck["population"])
+        ga.fitness = jnp.asarray(ck["fitness"])
+        ga.computed[:] = True
+        ga.key = jnp.asarray(ck["key"])
+        ga.num_generation = ck["generation"]
+        print(f"resumed full GA state at generation {ga.num_generation}")
 
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     writer = MetricsWriter(args.metrics_dir)
