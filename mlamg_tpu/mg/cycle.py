@@ -280,12 +280,11 @@ def build_hierarchy(
             # the recompile is acceptable) — truncation is never silent.
             P = smoothed_aggregation(level_A, agg_id, k)
             p_width = lvl_width  # P shares A's pattern with remapped columns
-            nnz_ap = level_A.nnz_pad * p_width
-            nnz_out = min(nnz_ap * lvl_width, 4 * nnz_ap)
+            nnz_out = min(4 * level_A.nnz_pad, k * k)
             while True:
-                A_next, overflow = matmul.rap(
-                    level_A, P, nnz_ap=nnz_ap, nnz_out=nnz_out,
-                    a_width=lvl_width, p_width=p_width, return_overflow=True,
+                A_next, overflow = matmul.rap_fused(
+                    level_A, P, k=k, nnz_out=nnz_out, p_width=p_width,
+                    return_overflow=True,
                 )
                 if not bool(overflow):
                     break

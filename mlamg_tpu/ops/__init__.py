@@ -10,5 +10,6 @@ from mlamg_tpu.ops.matmul import (  # noqa: F401
     spgemm,
     spgemm_masked,
     rap_dense,
+    rap_fused,
     transpose,
 )

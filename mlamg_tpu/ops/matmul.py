@@ -181,13 +181,29 @@ def coalesce(
     """
     m, n = shape
     mask = row < m
-    # Stable lexicographic (row, col) sort.
-    order_c = jnp.argsort(jnp.where(mask, col, n), stable=True)
-    order_r = jnp.argsort(jnp.where(mask, row, m)[order_c], stable=True)
-    perm = order_c[order_r]
-    r = row[perm]
-    c = col[perm]
-    d = jnp.where(mask[perm], data[perm], 0)
+    # One fused lexicographic (row, col) sort carrying the values along —
+    # a single XLA sort instead of two argsort+gather chains (the dominant
+    # cost of SpGEMM on TPU).  Stability is irrelevant: duplicates are
+    # merged by a commutative segment-sum.  When the coordinate space fits
+    # int32, pack (row, col) into one key — a single-key sort is cheaper
+    # on TPU than a lexicographic two-key sort.
+    if m * (n + 1) + n < 2**31:
+        key = jnp.where(mask, row * (n + 1) + col, m * (n + 1)).astype(jnp.int32)
+        key, d = jax.lax.sort(
+            (key, jnp.where(mask, data, 0)), num_keys=1, is_stable=False
+        )
+        r = key // (n + 1)
+        c = key - r * (n + 1)
+    else:
+        r, c, d = jax.lax.sort(
+            (
+                jnp.where(mask, row, m).astype(jnp.int32),
+                jnp.where(mask, col, n).astype(jnp.int32),
+                jnp.where(mask, data, 0),
+            ),
+            num_keys=2,
+            is_stable=False,
+        )
     rm = r < m
 
     # Segment ids: a new segment starts wherever (row, col) changes.
@@ -332,6 +348,52 @@ def rap(A: CSR, P: CSR, *, nnz_ap: int, nnz_out: int, a_width: int, p_width: int
     AP = spgemm(A, P, nnz_out=nnz_ap, b_width=p_width)
     Pt = transpose(P)
     return spgemm(Pt, AP, nnz_out=nnz_out, b_width=min(nnz_ap, a_width * p_width))
+
+
+def rap_fused(A: CSR, P, *, k: int, nnz_out: int, p_width: int,
+              return_overflow: bool = False):
+    """Sparse Galerkin product A_H = P.T @ A @ P as ONE expand + coalesce.
+
+    Expands every A entry (i, j, a) against the (fixed-width) P rows i and j:
+
+        A_H[r, s] += P[i, r] * a * P[j, s]
+
+    i.e. nnz(A) * p_width**2 candidate triplets and a single sort/merge —
+    versus the two chained SpGEMMs of :func:`rap` (transpose sort + two
+    coalesce sorts over a much wider expansion).  This is the TPU-shaped
+    realization of the reference's scipy ``P.T @ A @ P``
+    (ns/lib/multigrid.py:165) for multilevel setup where the coarse side is
+    kept sparse.
+
+    ``k`` is the coarse dimension (columns of P); ``p_width`` caps P's row
+    degree.  With ``return_overflow`` also returns a traced bool that is
+    True iff the true product nnz exceeded ``nnz_out``.
+    """
+    m, _ = A.shape
+    P_ell = P.to_ell(p_width) if not isinstance(P, ELL) else P
+    wp = P_ell.width
+
+    i = jnp.minimum(A.row, m - 1)
+    j = jnp.minimum(A.col, m - 1)
+    pi_cols = P_ell.col[i]  # (nnzA, wp)
+    pi_vals = P_ell.data[i]
+    pj_cols = P_ell.col[j]
+    pj_vals = P_ell.data[j]
+
+    vals = (A.data[:, None, None] * pi_vals[:, :, None]) * pj_vals[:, None, :]
+    rows = jnp.broadcast_to(pi_cols[:, :, None], (A.data.shape[0], wp, wp))
+    cols = jnp.broadcast_to(pj_cols[:, None, :], (A.data.shape[0], wp, wp))
+    # Dead slots (A padding, P pad lanes) must not create pattern entries.
+    live = (
+        A.mask[:, None, None]
+        & (pi_vals != 0)[:, :, None]
+        & (pj_vals != 0)[:, None, :]
+    )
+    rows = jnp.where(live, rows, k)
+    return coalesce(
+        vals.reshape(-1), rows.reshape(-1), cols.reshape(-1), (k, k), nnz_out,
+        return_overflow=return_overflow,
+    )
 
 
 def densify(P) -> jax.Array:

@@ -213,6 +213,66 @@ class TestProducts:
             np.asarray(AH.todense()), (P.T @ A @ P).toarray(), atol=1e-12
         )
 
+    def test_rap_fused_random(self, rng):
+        # fused single-expand RAP must match scipy P^T A P exactly in pattern
+        # and values (f64), including a smoothed (multi-entry-per-row) P
+        n, k = 60, 12
+        A = random_csr(rng, n, n, density=0.15)
+        P = random_csr(rng, n, k, density=0.3)
+        wp = int(np.diff(P.indptr).max())
+        Ad = CSR.from_scipy(A, dtype=jnp.float64)
+        Pd = CSR.from_scipy(P, dtype=jnp.float64)
+        true = (P.T @ A @ P).tocsr()
+        AH, ov = matmul.rap_fused(
+            Ad, Pd, k=k, nnz_out=int(true.nnz) + 8, p_width=wp,
+            return_overflow=True,
+        )
+        assert not bool(ov)
+        np.testing.assert_allclose(
+            np.asarray(AH.todense()), true.toarray(), atol=1e-12
+        )
+
+    def test_rap_fused_overflow_and_agreement_with_rap(self, rng):
+        n = 64
+        A = poisson1d(n)
+        kk = n // 4
+        P = sp.csr_matrix(
+            (np.ones(n), (np.arange(n), np.arange(n) // 4)), shape=(n, kk)
+        )
+        Ad = CSR.from_scipy(A, dtype=jnp.float64)
+        Pd = CSR.from_scipy(P, dtype=jnp.float64)
+        _, ov = matmul.rap_fused(Ad, Pd, k=kk, nnz_out=8, p_width=1,
+                                 return_overflow=True)
+        assert bool(ov)
+        AH, ov = matmul.rap_fused(Ad, Pd, k=kk, nnz_out=128, p_width=1,
+                                  return_overflow=True)
+        assert not bool(ov)
+        np.testing.assert_allclose(
+            np.asarray(AH.todense()), (P.T @ A @ P).toarray(), atol=1e-12
+        )
+
+    def test_rap_fused_grad(self, rng):
+        # setup products must stay differentiable w.r.t. A and P values
+        n, k = 20, 5
+        A = random_csr(rng, n, n, density=0.2)
+        P = random_csr(rng, n, k, density=0.4)
+        wp = int(np.diff(P.indptr).max())
+        Ad = CSR.from_scipy(A, dtype=jnp.float64)
+        Pd = CSR.from_scipy(P, dtype=jnp.float64)
+
+        def f(pdata):
+            AH = matmul.rap_fused(
+                Ad, Pd.with_data(pdata), k=k, nnz_out=64, p_width=wp
+            )
+            return jnp.sum(AH.data ** 2)
+
+        g = jax.grad(f)(Pd.data)
+        eps = 1e-6
+        d = np.zeros_like(np.asarray(Pd.data))
+        d[0] = eps
+        fd = (f(Pd.data + d) - f(Pd.data - d)) / (2 * eps)
+        np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-5, atol=1e-8)
+
     def test_coalesce_duplicates(self):
         # duplicate coordinates must sum
         row = jnp.array([0, 1, 0, 3, 1, 3], dtype=jnp.int32)  # 3 = sentinel pad
