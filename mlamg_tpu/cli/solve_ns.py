@@ -27,7 +27,13 @@ from mlamg_tpu.deploy import (
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="Unsteady lid-driven cavity with fieldsplit AMG")
+    p = argparse.ArgumentParser(description="Unsteady Oseen flow with fieldsplit AMG")
+    p.add_argument("--problem", default="cavity", choices=["cavity", "cylinder"],
+                   help="cavity: structured MAC lid-driven cavity; cylinder: "
+                        "unstructured P1-P1 DFG channel-around-a-cylinder "
+                        "(role of demos/unsteady-cylflow.py)")
+    p.add_argument("--h", type=float, default=0.04,
+                   help="cylinder mesh spacing")
     p.add_argument("--n", type=int, default=16)
     p.add_argument("--re", type=float, default=100.0)
     p.add_argument("--dt", type=float, default=0.1)
@@ -36,14 +42,25 @@ def main(argv=None):
     p.add_argument("--schur-pc", default="pcdr", choices=["pcdr", "sa", "mlamg"])
     p.add_argument("--pnet-model", type=str, default=None)
     p.add_argument("--float64", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform override (e.g. cpu); f64 requires cpu")
     args = p.parse_args(argv)
 
+    from mlamg_tpu.cli.common import force_platform
+
+    force_platform(args.platform)
     dtype = jnp.float64 if args.float64 else jnp.float32
     if args.float64:
         jax.config.update("jax_enable_x64", True)
 
-    sys_ = lid_driven_cavity(n=args.n, Re=args.re, dt=args.dt)
-    print(f"n_u={sys_.n_u} n_p={sys_.n_p} Re={args.re} dt={args.dt}")
+    if args.problem == "cylinder":
+        from mlamg_tpu.data.cylflow import cylinder_flow_system
+
+        sys_ = cylinder_flow_system(h=args.h, Re=args.re, dt=args.dt)
+    else:
+        sys_ = lid_driven_cavity(n=args.n, Re=args.re, dt=args.dt)
+    print(f"problem={args.problem} n_u={sys_.n_u} n_p={sys_.n_p} "
+          f"Re={args.re} dt={args.dt}")
 
     if args.schur_pc == "pcdr":
         schur_pc = PCDRPreconditioner(sys_, dtype=dtype)
@@ -58,10 +75,12 @@ def main(argv=None):
     solver = SchurFieldsplitSolver(sys_, schur_pc, dtype=dtype)
 
     u = np.zeros(sys_.n_u)
+    Mv = getattr(sys_, "velocity_mass", None)  # FEM mass; MAC grids use I
     for step in range(args.steps):
-        # implicit step: the generator's F block already contains the I/dt
-        # reaction term, so the rhs is [f + u_old/dt ; g]
-        b = jnp.asarray(np.concatenate([sys_.f + u / args.dt, sys_.g]), dtype)
+        # implicit step: the generator's F block already contains the M/dt
+        # reaction term, so the rhs is [f + M u_old/dt ; g]
+        mu = (Mv @ u) if Mv is not None else u
+        b = jnp.asarray(np.concatenate([sys_.f + mu / args.dt, sys_.g]), dtype)
         t0 = time.time()
         x, hist, iters = solver.solve(b=b, tol=args.tol)
         x = np.asarray(x)

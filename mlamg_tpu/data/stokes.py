@@ -40,6 +40,9 @@ class StokesSystem:
     shape_p: tuple
     dt: float | None
     Re: float
+    # optional pressure-pressure block (e.g. Brezzi-Pitkäranta stabilization
+    # for equal-order pairs): saddle matrix is [[F, B^T], [B, -C]]
+    C: sp.csr_matrix | None = None
 
     @property
     def n_u(self) -> int:
@@ -50,8 +53,10 @@ class StokesSystem:
         return self.B.shape[0]
 
     def saddle_matrix(self) -> sp.csr_matrix:
-        """Full [[F, B^T], [B, 0]] operator."""
-        Z = sp.csr_matrix((self.n_p, self.n_p))
+        """Full [[F, B^T], [B, -C]] operator (C = 0 when unstabilized)."""
+        Z = (-self.C) if self.C is not None else sp.csr_matrix(
+            (self.n_p, self.n_p)
+        )
         return sp.bmat([[self.F, self.B.T], [self.B, Z]], format="csr")
 
     def rhs(self) -> np.ndarray:

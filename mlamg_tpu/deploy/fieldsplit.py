@@ -48,11 +48,15 @@ class SchurFieldsplitSolver:
             momentum_solver = lu.solve
         self.momentum_solver = momentum_solver
         self.schur_pc = schur_pc
+        C = getattr(system, "C", None)
+        self.C = CSR.from_scipy(C, dtype=dtype) if C is not None else None
 
     def matvec(self, x: jax.Array) -> jax.Array:
         u, p = x[: self.n_u], x[self.n_u :]
         ru = matmul.spmv(self.F, u) + matmul.spmv_t(self.B, p)
         rp = matmul.spmv(self.B, u)
+        if self.C is not None:
+            rp = rp - matmul.spmv(self.C, p)
         return jnp.concatenate([ru, rp])
 
     def preconditioner(self, r: jax.Array) -> jax.Array:

@@ -158,17 +158,44 @@ class PCDRPreconditioner:
         import scipy.sparse as sp
 
         Mp = system.Mp
-        Kp = system.Ap
+        Kp = system.Ap.copy()
         Fp = system.Fp
+        # On flows with an open boundary the pressure is pinned there by
+        # the natural outflow condition; the PCD operators must carry the
+        # same pin (Dirichlet rows/cols) or the Lagrange-pinned solves
+        # annihilate a mode the true Schur complement doesn't — making the
+        # preconditioned operator singular and stalling FGMRES.  Enclosed
+        # flows (no ``pressure_pin_nodes``) keep the Lagrange pinning.
+        pin = np.asarray(getattr(system, "pressure_pin_nodes", []), np.int64)
+        singular = pin.size == 0
+
+        def apply_pin(A):
+            if singular:
+                return A
+            A = A.tolil()
+            A[pin, :] = 0.0
+            A[:, pin] = 0.0
+            A[pin, pin] = 1.0
+            return A.tocsr()
+
+        Kp = apply_pin(Kp)
         self.Fp = CSR.from_scipy(Fp, dtype=dtype)
         self.Mp_solver = CoarseSolver.factor(jnp.asarray(Mp.toarray(), dtype))
-        # pressure Laplacian has the constant nullspace on enclosed flows
-        self.Kp_solver = CoarseSolver.factor(jnp.asarray(Kp.toarray(), dtype), singular=True)
+        self.Kp_solver = CoarseSolver.factor(
+            jnp.asarray(Kp.toarray(), dtype), singular=singular
+        )
         if system.dt is not None:
             Dinv = sp.diags(1.0 / system.Mu_diag)
             Rp = (system.B @ Dinv @ system.B.T) * system.dt
+            # equal-order (P1-P1) systems carry a pressure stabilization
+            # block C; without it Rp is singular on the spurious
+            # checkerboard modes C exists to suppress, and the pinned LU
+            # (constants only) amplifies them unboundedly
+            if getattr(system, "C", None) is not None:
+                Rp = Rp + system.C
+            Rp = apply_pin(Rp.tocsr())
             self.Rp_solver = CoarseSolver.factor(
-                jnp.asarray(Rp.toarray(), dtype), singular=True
+                jnp.asarray(Rp.toarray(), dtype), singular=singular
             )
         else:
             self.Rp_solver = None
