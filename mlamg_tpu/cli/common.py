@@ -128,6 +128,12 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--compute-test-loss", default=True, type=parse_bool_str)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--loss-relative-measure", type=parse_bool_str, default=True)
+    parser.add_argument("--adaptive-sigma", type=parse_bool_str, default=False,
+                        help="mutation scale follows the 1/5-success rule "
+                             "(fixes the fixed-perturbation stall near optima)")
+    parser.add_argument("--mutation-sparsity", type=float, default=None,
+                        help="per-weight mutation probability instead of "
+                             "fold-wise masks")
     parser.add_argument("--evaluate-bench-loss", type=parse_bool_str, default=True)
     parser.add_argument("--pre-smooth", type=int, default=1)
     parser.add_argument("--post-smooth", type=int, default=1)

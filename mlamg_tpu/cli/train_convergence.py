@@ -23,10 +23,20 @@ from mlamg_tpu.cli.common import force_platform
 
 
 def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
-    """[(A CSR, node_feats (n,2), conv label)] via random-seed Lloyd-SA."""
-    from mlamg_tpu.ops import CSR
+    """[(A CSR, node_feats (n,6), conv label)] labeled splittings.
+
+    Half the splittings per grid come from Lloyd aggregation (good), half
+    from random-center Bellman-Ford (bad) — the label spread between the
+    two regimes is what makes the regression identifiable (a Lloyd-only
+    dataset has so little conv variance that the optimum is the constant
+    mean).  Node features describe the splitting the way the reference's
+    MeshDataset does (C/F indicator) plus aggregate geometry the conv
+    factor actually depends on: distance-to-center, aggregate size, local
+    diagonal/degree scale.
+    """
     from mlamg_tpu.train import GridBundle, SolveOptions, measured_conv
     from mlamg_tpu.graph.lloyd import lloyd_aggregation
+    from mlamg_tpu.graph.bellman_ford import bellman_ford, nearest_center_to_agg
     from mlamg_tpu.graph.strength import strength_measure
     from mlamg_tpu.mg.interp import sa_interpolation_dense
 
@@ -35,17 +45,41 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
     key = jax.random.PRNGKey(seed)
     for g in grids:
         b = GridBundle.from_grid(g, alpha)
+        n = b.A.shape[0]
         C = strength_measure(b.A, "abs", width=b.width)
-        for _ in range(per_grid):
+        deg = np.diff(np.asarray(b.A.indptr)).astype(np.float32)
+        diag = np.asarray(b.A.diagonal(), np.float32)
+        diag_f = diag / max(np.abs(diag).mean(), 1e-30)
+        deg_f = deg / max(deg.mean(), 1e-30)
+        for j in range(per_grid):
             key, sub = jax.random.split(key)
-            agg_id, roots, _ = lloyd_aggregation(C, ratio=alpha, key=sub)
+            if j % 2 == 0:
+                agg_id, roots, _ = lloyd_aggregation(C, ratio=alpha, key=sub)
+                dist, _ = bellman_ford(C, roots)
+            else:
+                roots = jax.random.permutation(sub, n)[: b.k].astype(jnp.int32)
+                dist, nearest = bellman_ford(C, roots)
+                agg_id = nearest_center_to_agg(roots, nearest)
             P = sa_interpolation_dense(b.A, agg_id, b.k)
             conv = float(measured_conv(b.A, P, b.x0, opts))
-            n = b.A.shape[0]
             is_center = np.zeros(n, np.float32)
             is_center[np.asarray(roots)] = 1.0
+            agg = np.asarray(agg_id)
+            sizes = np.bincount(agg, minlength=b.k).astype(np.float32)
+            size_f = sizes[agg] / max(sizes.mean(), 1e-30)
+            d = np.asarray(dist, np.float32)
+            d = np.where(np.isfinite(d), d, 0.0)
+            dist_f = d / max(d.mean(), 1e-30)
             feats = np.stack(
-                [np.full(n, 1.0 / n, np.float32), is_center], axis=1
+                [
+                    np.full(n, 1.0 / n, np.float32),
+                    is_center,
+                    dist_f,
+                    size_f,
+                    diag_f,
+                    deg_f,
+                ],
+                axis=1,
             )
             samples.append((b.A, jnp.asarray(feats), conv))
     return samples

@@ -125,16 +125,20 @@ def main(argv=None):
         steady_state_top_use=0.5,
         steady_state_bottom_discard=0.5,
         selection="greedy" if args.greedy else "steady_state",
+        adaptive_sigma=args.adaptive_sigma,
+        mutation_sparsity=args.mutation_sparsity,
     )
     ga = ParallelGA(pop0, fitness, cfg, fold_ids=fold_ids)
     ga.num_generation = args.start_generation
     if args.resume:
         ck = load_checkpoint(args.resume)
-        ga.population = jnp.asarray(ck["population"])
-        ga.fitness = jnp.asarray(ck["fitness"])
+        ga.population = np.asarray(ck["population"]).copy()
+        ga.fitness = np.asarray(ck["fitness"]).copy()
         ga.computed[:] = True
-        ga.key = jnp.asarray(ck["key"])
+        ga.key = ga._coerce_key(np.asarray(ck["key"]))
         ga.num_generation = ck["generation"]
+        if "sigma" in ck:
+            ga.sigma = float(ck["sigma"])
         print(f"resumed full GA state at generation {ga.num_generation}")
 
     os.makedirs(args.checkpoint_dir, exist_ok=True)
@@ -182,6 +186,7 @@ def main(argv=None):
                 population=ga.population,
                 fitness=ga.fitness,
                 key=ga.key,
+                sigma=ga.sigma,
             )
 
     report()

@@ -20,7 +20,8 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, *, generation: int, best_params=None,
-                    population=None, fitness=None, key=None, extra=None):
+                    population=None, fitness=None, key=None, sigma=None,
+                    extra=None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "generation": int(generation),
@@ -30,6 +31,8 @@ def save_checkpoint(path: str, *, generation: int, best_params=None,
         "key": np.asarray(key) if key is not None else None,
         "extra": extra or {},
     }
+    if sigma is not None:
+        payload["sigma"] = float(sigma)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)

@@ -72,6 +72,43 @@ class TestGA:
         # monotone non-decreasing best fitness (elitism)
         assert all(b >= a - 1e-9 for a, b in zip(fits, fits[1:]))
 
+    def test_adaptive_sigma_refines_past_fixed_scale(self):
+        # A fixed +-1.0 full-vector perturbation stalls near the optimum of
+        # a smooth quadratic (every move overshoots); the 1/5-success rule
+        # shrinks the scale and keeps refining.
+        target = jnp.asarray(np.linspace(-1, 1, 20))
+
+        def fitness(pop, gen):
+            err = jnp.sum((pop - target[None, :]) ** 2, axis=1)
+            return 1.0 / (err + 1e-9)
+
+        pop0 = init_population(jax.random.PRNGKey(3), jnp.zeros(20), 16, perturb=1.0)
+
+        def run(adaptive):
+            ga = ParallelGA(
+                pop0,
+                fitness,
+                GAConfig(
+                    crossover_probability=0.0,
+                    mutation_probability=1.0,
+                    mutation_min_perturb=-1.0,
+                    mutation_max_perturb=1.0,
+                    steady_state_top_use=0.5,
+                    steady_state_bottom_discard=0.5,
+                    adaptive_sigma=adaptive,
+                    mutation_sparsity=0.3 if adaptive else None,
+                ),
+                key=7,
+            )
+            for _ in range(80):
+                ga.iteration()
+            return ga.best_solution()[1], ga
+
+        fit_fixed, _ = run(False)
+        fit_adapt, ga = run(True)
+        assert fit_adapt > 5 * fit_fixed, (fit_fixed, fit_adapt)
+        assert ga.sigma < ga.sigma0  # scale actually annealed
+
     def test_mutation_only_improves(self):
         # regression: with crossover_probability = 0 the steady-state
         # offspring are parent copies and MUST still be mutated (a bug once
