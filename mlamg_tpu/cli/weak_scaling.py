@@ -56,6 +56,52 @@ def time_slope(f_lo, f_hi, iters_lo: int, iters_hi: int, repeat: int = 3) -> flo
     return best
 
 
+def ici_projection(cycle_ms_1shard: float, nx: int, k: int,
+                   pre: int = 1, post: int = 1,
+                   ici_gbps: float = 45.0, hop_latency_us: float = 1.0):
+    """Analytic weak-scaling projection over a real TPU ICI ring.
+
+    Only one physical chip is reachable in this environment, so the
+    multi-chip number cannot be *measured*; it can be *modeled* tightly,
+    because the distributed cycle's communication schedule is static and
+    tiny (see parallel/pcycle.py): per iteration each shard sends
+    2*(pre+post+1) halo slices of nx rows (ppermute to ring neighbours)
+    and joins 2 all-reduces of a (k,) vector.  Compute per shard is the
+    measured single-shard time (fixed local problem).  The projection
+    assumes NO compute/comm overlap (conservative; XLA overlaps
+    ppermutes with local work when it can) and charges full ring
+    all-reduce cost 2*(S-1)/S * bytes.  Not modeled: the replicated
+    coarse solve growing with S (k = S*k_loc) — negligible on the MXU
+    for the k this harness runs, dominant in the oversubscribed-CPU
+    measurement above it.
+
+    ici_gbps: per-direction per-link ICI bandwidth (v5e: ~45 GB/s).
+    """
+    halo_bytes = 2 * (pre + post + 1) * nx * 4
+    msgs = 2 * (pre + post + 1) + 2
+    rows = []
+    for S in (2, 4, 8, 16):
+        allreduce_bytes = 2 * (S - 1) / S * (2 * k * 4)
+        t_comm_ms = (
+            (halo_bytes + allreduce_bytes) / (ici_gbps * 1e9) * 1e3
+            + msgs * hop_latency_us * 1e-3
+        )
+        rows.append(
+            dict(shards=S,
+                 comm_ms=round(t_comm_ms, 6),
+                 projected_efficiency=round(
+                     cycle_ms_1shard / (cycle_ms_1shard + t_comm_ms), 4
+                 ))
+        )
+    return dict(
+        model="no-overlap ring: t(S) = t(1) + halo_ppermutes + ring_allreduce",
+        assumptions=dict(ici_gbps=ici_gbps, hop_latency_us=hop_latency_us,
+                         halo_bytes_per_iter=halo_bytes, msgs_per_iter=msgs),
+        cycle_ms_1shard=cycle_ms_1shard,
+        rows=rows,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -156,6 +202,9 @@ def main(argv=None):
               "hardware scaling") if args.virtual_devices else "",
         nx=nx, ny_loc=ny_loc,
         rows=rows,
+        ici_projection=ici_projection(
+            rows[0]["cycle_ms_per_iter"], nx, rows[0]["k"]
+        ),
     )
     print(json.dumps(out))
     if args.out:
