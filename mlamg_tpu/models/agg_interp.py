@@ -76,12 +76,13 @@ class MPNN(nn.Module):
             )
             e = nn.relu(e_new) + e
 
-        # output heads
+        # output heads (positive bias init keeps the single-unit ReLU heads
+        # alive at init — see gnn.EdgeModel.out_bias_init)
         x = nn.relu(
             NNConv(self.dim, 1, name="node_conv_out")(g, InstanceNorm()(x, nm), e)
         )
         e = nn.relu(
-            EdgeModel(self.dim, 1, name="edge_conv_out")(
+            EdgeModel(self.dim, 1, name="edge_conv_out", out_bias_init=0.1)(
                 gather_src(g, x), gather_dst(g, x), e
             )
         )

@@ -42,7 +42,12 @@ class InstanceNorm(nn.Module):
     affine=False): zero mean / unit variance over the node axis.
 
     With ``mask`` (shape-bucket padding), statistics run over real nodes
-    only so padded grids reproduce the unpadded outputs on real nodes."""
+    only so padded grids reproduce the unpadded outputs on real nodes —
+    and padding-node outputs are zeroed.  Without the zeroing, padding
+    activations are *amplified* by rsqrt(var) each call (they don't
+    contribute to var, so nothing bounds them); across a deep residual
+    MPNN they overflow f32 and the masked variance becomes 0 * inf = NaN,
+    poisoning the real outputs too."""
 
     eps: float = 1e-5
 
@@ -51,12 +56,13 @@ class InstanceNorm(nn.Module):
         if mask is None:
             mean = jnp.mean(x, axis=0, keepdims=True)
             var = jnp.var(x, axis=0, keepdims=True)
-        else:
-            m = mask.astype(x.dtype)[:, None]
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=0, keepdims=True) / cnt
-            var = jnp.sum(m * (x - mean) ** 2, axis=0, keepdims=True) / cnt
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+            return (x - mean) * jax.lax.rsqrt(var + self.eps)
+        m = mask.astype(x.dtype)[:, None]
+        cnt = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(x * m, axis=0, keepdims=True) / cnt
+        d = (x - mean) * m
+        var = jnp.sum(d * d, axis=0, keepdims=True) / cnt
+        return d * jax.lax.rsqrt(var + self.eps)
 
 
 class LayerNorm(nn.Module):
@@ -106,17 +112,28 @@ class TAGConv(nn.Module):
 
 class EdgeModel(nn.Module):
     """Edge MLP on concat(src_feat, dst_feat, edge_attr)
-    (role of smallEdgeModel, agg_interp.py:37-56)."""
+    (role of smallEdgeModel, agg_interp.py:37-56).
+
+    ``out_bias_init`` biases the final layer positive: a single-unit head
+    behind a ReLU sees near-constant inputs at init (the edge embeddings
+    are not yet differentiated), so with a zero bias the whole head is
+    dead-on-arrival for ~half the seeds — unrecoverable by gradient
+    descent (ReLU has zero gradient there), merely slow for the GA.
+    """
 
     hid_dim: int
     out_dim: int
+    out_bias_init: float = 0.0
 
     @nn.compact
     def __call__(self, src_feat, dst_feat, edge_attr):
         h = jnp.concatenate([src_feat, dst_feat, edge_attr], axis=1)
         h = nn.relu(nn.Dense(self.hid_dim)(h))
         h = nn.LayerNorm()(h)
-        return nn.Dense(self.out_dim)(h)
+        return nn.Dense(
+            self.out_dim,
+            bias_init=nn.initializers.constant(self.out_bias_init),
+        )(h)
 
 
 class EdgeConv(nn.Module):

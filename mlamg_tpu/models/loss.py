@@ -36,16 +36,33 @@ def amg_loss(
     no_postrelax: int = 1,
     neumann_solve_fix: bool = False,
     omega: float = 2.0 / 3.0,
+    ridge: float = 0.0,
+    smooth_fn=None,
 ):
     """Softmax-weighted convergence-factor loss of interpolation ``P``.
 
     P : CSR (n, k) or dense (n, k); A : CSR (n, n); test_vecs : (n, t).
     Fully differentiable w.r.t. P values (and A values).
+
+    ``ridge`` adds ``ridge * mean(diag(A_H))`` to the coarse diagonal:
+    candidate P's with (near-)dead columns then yield a large-but-finite,
+    still-differentiable loss instead of a NaN from the singular LU — the
+    soft-pipeline trainer relies on this to steer out of degenerate
+    interpolations (default 0.0 = exact reference semantics).
+
+    ``smooth_fn`` optionally replaces the weighted-Jacobi error sweep with a
+    custom (n, t) -> (n, t) error smoother (e.g. multicolor Gauss-Seidel to
+    match the measured two-level cycle); it must be differentiable in its
+    input and is applied ``no_prerelax``/``no_postrelax`` times.
     """
     d = A.diagonal()
     Dinv = omega / jnp.where(d != 0, d, 1.0)
 
     A_H = rap_dense(A, P)
+    if ridge:
+        k_h = A_H.shape[0]
+        lam = ridge * jnp.trace(A_H) / k_h + 1e-12
+        A_H = A_H + lam * jnp.eye(k_h, dtype=A_H.dtype)
     if neumann_solve_fix:
         k = A_H.shape[0]
         one = jnp.ones((k, 1), A_H.dtype)
@@ -60,9 +77,12 @@ def amg_loss(
     def Pt_mul(v):
         return spmm_t(P, v) if isinstance(P, CSR) else P.T @ v
 
+    if smooth_fn is None:
+        smooth_fn = lambda x: x - Dinv[:, None] * spmm(A, x)
+
     def iteration(x):
         for _ in range(no_prerelax):
-            x = x - Dinv[:, None] * spmm(A, x)
+            x = smooth_fn(x)
         r_H = Pt_mul(spmm(A, x))
         if neumann_solve_fix:
             r_H = jnp.concatenate([r_H, jnp.zeros((1, t), r_H.dtype)], axis=0)
@@ -71,7 +91,7 @@ def amg_loss(
             e_H = e_H[:-1]
         x = x + P_mul(e_H)
         for _ in range(no_postrelax):
-            x = x - Dinv[:, None] * spmm(A, x)
+            x = smooth_fn(x)
         if neumann_solve_fix:
             # project out the constant nullspace (reference loss.py:89 does
             # this unconditionally, which under-counts smooth error on
@@ -79,14 +99,22 @@ def amg_loss(
             x = x - jnp.mean(x, axis=0, keepdims=True)
         return x
 
-    errs = []
+    # Per-loop contraction ratios with renormalization: a divergent
+    # candidate P grows the error geometrically, and squaring raw norms
+    # overflows f32 within a few loops (NaN loss, dead gradients).  The
+    # error is rescaled to unit norm after every loop; the accumulated
+    # ratios give the identical convergence factor.
+    ratios = []
     for _ in range(tot_num_loop + 1):
         x = iteration(x)
-        errs.append(jnp.linalg.norm(x, axis=0))
-    errs = jnp.stack(errs)  # (loops+1, t)
+        nrm = jnp.linalg.norm(x, axis=0)
+        ratios.append(nrm)
+        x = x / jnp.maximum(nrm, 1e-30)[None, :]
+    ratios = jnp.stack(ratios)  # (loops+1, t)
 
     n_err = 3
-    convs = (errs[-1] / jnp.maximum(errs[-n_err], 1e-30)) ** (1.0 / (n_err - 1))
+    # errs[-1]/errs[-n_err] == product of the last (n_err-1) ratios
+    convs = jnp.prod(ratios[-(n_err - 1):], axis=0) ** (1.0 / (n_err - 1))
     return jnp.dot(jax.nn.softmax(convs), convs)
 
 
