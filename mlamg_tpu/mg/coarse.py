@@ -24,31 +24,49 @@ import jax.scipy.linalg as jsl
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["lu", "piv"],
-    meta_fields=["singular"],
+    meta_fields=["singular", "method"],
 )
 @dataclasses.dataclass(frozen=True)
 class CoarseSolver:
-    """LU-factorized dense coarse operator."""
+    """Factorized dense coarse operator.
+
+    ``method="lu"`` (default) stores the LU factors; each solve is two
+    triangular solves — sequential work the MXU dislikes.  ``method=
+    "inverse"`` stores the explicit inverse; each solve is one (k, k)
+    matvec — a single MXU pass, ~an order of magnitude faster per cycle
+    iteration on TPU for the k ≤ a-few-thousand coarse levels this
+    framework produces.  The inverse is computed from the LU factors at
+    setup; for the SPD/bordered coarse operators here (condition ~O(k))
+    the f32 accuracy loss is well below smoother noise."""
 
     lu: jax.Array
     piv: jax.Array
     singular: bool
+    method: str = "lu"
 
     @staticmethod
-    def factor(A_H: jax.Array, singular: bool = False) -> "CoarseSolver":
+    def factor(
+        A_H: jax.Array, singular: bool = False, method: str = "lu"
+    ) -> "CoarseSolver":
         if singular:
             k = A_H.shape[0]
             one = jnp.ones((k, 1), A_H.dtype)
             A_H = jnp.block([[A_H, one], [one.T, jnp.zeros((1, 1), A_H.dtype)]])
+        if method == "inverse":
+            inv = jnp.linalg.inv(A_H)
+            return CoarseSolver(inv, jnp.zeros((0,), jnp.int32), singular, method)
         lu, piv = jsl.lu_factor(A_H)
-        return CoarseSolver(lu, piv, singular)
+        return CoarseSolver(lu, piv, singular, method)
 
     def solve(self, r: jax.Array) -> jax.Array:
         """Solve A_H e = r (r may be (k,) or (k, t))."""
         if self.singular:
             pad_shape = (1,) + r.shape[1:]
             r = jnp.concatenate([r, jnp.zeros(pad_shape, r.dtype)], axis=0)
-        e = jsl.lu_solve((self.lu, self.piv), r)
+        if self.method == "inverse":
+            e = self.lu @ r
+        else:
+            e = jsl.lu_solve((self.lu, self.piv), r)
         if self.singular:
             e = e[:-1]
         return e

@@ -31,15 +31,25 @@ from mlamg_tpu.mg.coarse import CoarseSolver
 from mlamg_tpu.mg.smoothers import jacobi, chebyshev, multicolor_gauss_seidel
 
 
+def _is_factored(P):
+    from mlamg_tpu.mg.factored import FactoredSA
+
+    return isinstance(P, FactoredSA)
+
+
 def _interp(P, v):
-    """P @ v for dense or sparse P."""
+    """P @ v for dense, sparse, or factored P."""
+    if _is_factored(P):
+        return P.interp(v)
     if isinstance(P, (CSR, ELL)):
         return matmul.spmv(P, v)
     return P @ v
 
 
 def _restrict(P, v):
-    """P.T @ v for dense or sparse P."""
+    """P.T @ v for dense, sparse, or factored P."""
+    if _is_factored(P):
+        return P.restrict(v)
     if isinstance(P, (CSR, ELL)):
         return matmul.spmv_t(P, v)
     return P.T @ v
@@ -47,6 +57,10 @@ def _restrict(P, v):
 
 def coarse_operator(A, P) -> jax.Array:
     """Dense Galerkin coarse operator P^T A P."""
+    if _is_factored(P):
+        from mlamg_tpu.mg.factored import coarse_operator_factored
+
+        return coarse_operator_factored(A, P)
     return matmul.rap_dense(A, P)
 
 
@@ -304,9 +318,9 @@ def build_hierarchy(
 
 
 def _level_spmv(A, x):
-    if isinstance(A, (CSR, ELL)):
-        return matmul.spmv(A, x)
-    return A @ x
+    if isinstance(A, jax.Array):
+        return A @ x
+    return matmul.spmv(A, x)
 
 
 def vcycle(h: Hierarchy, b: jax.Array, x: jax.Array, *, omega: float = 0.666, nu: int = 1):

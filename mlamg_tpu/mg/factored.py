@@ -1,0 +1,282 @@
+"""Factored smoothed-aggregation prolongator: apply P = S·T without ever
+materializing it.
+
+The SA prolongator (reference ns/lib/multigrid.py:102-108) is
+
+    P = (I - omega D^-1 A) Agg = S · T
+
+with S sharing A's sparsity and T the (n, k) one-hot aggregation operator.
+Materializing P densely makes restriction/prolongation the V-cycle's
+dominant HBM traffic (an (n, k) stream each way — measured 2 GB/iteration
+at n = 262k, k = 1024, ~85% of the whole two-level iteration).  Applying
+the factors instead costs
+
+    interp    P e   = S (T e)      — one broadcast + one stencil SpMV
+    restrict  P^T r = T^T (S^T r)  — one stencil SpMV + one segment-reduce
+
+i.e. two more O(nnz) streaming passes and zero O(n*k) traffic.  For DIA
+(stencil) operators both SpMVs ride the Pallas fast path; S^T is
+precomputed as its own DIA so the transpose apply is also a forward
+streaming kernel.
+
+Two aggregation operators are provided:
+
+- :class:`BoxAgg2D` — structured box aggregates on a regular (ny, nx)
+  grid: T e is a reshape+broadcast and T^T v a reshape+sum, both pure XLA
+  streaming (no gather/scatter at all).
+- :class:`AggOp` — arbitrary assignment vector (Lloyd output): T e is a
+  gather, T^T v a segment-sum.
+
+``coarse_operator_factored`` forms the dense Galerkin operator
+P^T A P in column blocks (setup-time only, jittable, never materializes
+the (n, k) dense P).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.ops.sparse import CSR, ELL
+from mlamg_tpu.ops.dia import DIA, dia_jacobi_operator, dia_spmm
+from mlamg_tpu.ops import matmul
+
+
+def dia_transpose(A: DIA) -> DIA:
+    """A.T as its own DIA (negated offsets, shifted diagonals).
+
+    data'[d', j] = A.T[j, j + o'] = A[j + o', j] = data[d(-o'), j + o'].
+    Preserves a blocked (D, n/128, 128) layout.
+    """
+    data = A.data2d
+    n = A.shape[0]
+    rows = []
+    for d, o in enumerate(A.offsets):
+        op = -o
+        row = data[d]
+        if op >= 0:
+            row = jnp.concatenate([row[op:], jnp.zeros((op,), row.dtype)])
+        else:
+            row = jnp.concatenate([jnp.zeros((-op,), row.dtype), row[:op]])
+        rows.append(row)
+    out = DIA(jnp.stack(rows), tuple(-o for o in A.offsets), (A.shape[1], A.shape[0]))
+    if A.data.ndim == 3:
+        out = DIA(
+            out.data.reshape(A.data.shape), out.offsets, out.shape
+        )
+    return out
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[],
+    meta_fields=["ny", "nx", "sy", "sx"],
+)
+@dataclasses.dataclass(frozen=True)
+class BoxAgg2D:
+    """Structured (sy, sx) box aggregation of a row-major (ny, nx) grid.
+
+    Node (iy, ix) -> aggregate (iy // sy) * (nx // sx) + (ix // sx);
+    the same numbering as a row-major coarse grid.  Applications are
+    separable rank-1 contractions T = B_y (x) B_x with 0/1 block-sum
+    matrices, executed as two small dense matmuls on the 2-D view — MXU
+    work with lane-friendly layouts (a reshape-and-reduce over the
+    (..., s) minor axis pads 16 values into 128 lanes and measures ~10x
+    slower on v5e)."""
+
+    ny: int
+    nx: int
+    sy: int
+    sx: int
+
+    def _B(self, m: int, s: int, dtype) -> jax.Array:
+        """(m, m//s) block-sum matrix: B[i, j] = 1 iff i // s == j."""
+        return (jnp.arange(m)[:, None] // s == jnp.arange(m // s)[None, :]).astype(
+            dtype
+        )
+
+    @property
+    def n(self) -> int:
+        return self.ny * self.nx
+
+    @property
+    def k(self) -> int:
+        return (self.ny // self.sy) * (self.nx // self.sx)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.k)
+
+    @property
+    def agg_id(self) -> jax.Array:
+        iy = jnp.arange(self.n) // self.nx
+        ix = jnp.arange(self.n) % self.nx
+        return (iy // self.sy) * (self.nx // self.sx) + ix // self.sx
+
+    def interp(self, e: jax.Array) -> jax.Array:
+        """T e: broadcast each coarse value over its box (B_y E B_x^T)."""
+        ncy, ncx = self.ny // self.sy, self.nx // self.sx
+        By = self._B(self.ny, self.sy, e.dtype)
+        Bx = self._B(self.nx, self.sx, e.dtype)
+        if e.ndim == 1:
+            E = e.reshape(ncy, ncx)
+            return (By @ E @ Bx.T).reshape(self.n)
+        c = e.shape[1]
+        E = e.reshape(ncy, ncx, c)
+        out = jnp.einsum("yY,YXc,xX->yxc", By, E, Bx)
+        return out.reshape(self.n, c)
+
+    def restrict(self, v: jax.Array) -> jax.Array:
+        """T^T v: sum each box (B_y^T V B_x)."""
+        ncy, ncx = self.ny // self.sy, self.nx // self.sx
+        By = self._B(self.ny, self.sy, v.dtype)
+        Bx = self._B(self.nx, self.sx, v.dtype)
+        if v.ndim == 1:
+            V = v.reshape(self.ny, self.nx)
+            return (By.T @ V @ Bx).reshape(self.k)
+        c = v.shape[1]
+        V = v.reshape(self.ny, self.nx, c)
+        out = jnp.einsum("Yy,YXc,Xx->yxc", By, V, Bx)
+        return out.reshape(self.k, c)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["agg_id"],
+    meta_fields=["n", "k"],
+)
+@dataclasses.dataclass(frozen=True)
+class AggOp:
+    """General aggregation operator from an assignment vector.
+
+    ``agg_id[i] >= k`` marks an unassigned node (zero row of T)."""
+
+    agg_id: jax.Array  # (n,) int32
+    n: int
+    k: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.k)
+
+    def interp(self, e: jax.Array) -> jax.Array:
+        idx = jnp.clip(self.agg_id, 0, self.k - 1)
+        out = e[idx]
+        assigned = self.agg_id < self.k
+        if e.ndim > 1:
+            assigned = assigned[:, None]
+        return jnp.where(assigned, out, 0)
+
+    def restrict(self, v: jax.Array) -> jax.Array:
+        assigned = self.agg_id < self.k
+        if v.ndim > 1:
+            data = jnp.where(assigned[:, None], v, 0)
+        else:
+            data = jnp.where(assigned, v, 0)
+        return jax.ops.segment_sum(
+            data, jnp.clip(self.agg_id, 0, self.k - 1), num_segments=self.k
+        )
+
+
+Agg = Union[BoxAgg2D, AggOp]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["S", "St", "T"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class FactoredSA:
+    """P = S · T applied by its factors (never materialized).
+
+    ``S`` is the Jacobi smoother (I - omega D^-1 A) in A's format, ``St``
+    its precomputed transpose (so restriction is also a *forward* SpMV on
+    the fast path), ``T`` the aggregation operator."""
+
+    S: object  # DIA / CSR / ELL
+    St: object
+    T: Agg
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.T.shape[0], self.T.shape[1])
+
+    @property
+    def dtype(self):
+        return self.S.data.dtype
+
+    def interp(self, e: jax.Array) -> jax.Array:
+        return matmul.spmv(self.S, self.T.interp(e))
+
+    def restrict(self, r: jax.Array) -> jax.Array:
+        return self.T.restrict(matmul.spmv(self.St, r))
+
+    def interp_mm(self, E: jax.Array) -> jax.Array:
+        """(n, c) = P @ E for a dense (k, c) block (setup-time)."""
+        return matmul.spmm(self.S, self.T.interp(E))
+
+    def restrict_mm(self, V: jax.Array) -> jax.Array:
+        """(k, c) = P.T @ V for a dense (n, c) block (setup-time)."""
+        return self.T.restrict(matmul.spmm(self.St, V))
+
+    def densify(self) -> jax.Array:
+        """Dense (n, k) P — tests/small problems only."""
+        return self.interp_mm(jnp.eye(self.shape[1], dtype=self.dtype))
+
+
+def _csr_jacobi_smoother(A: CSR, Dinv: jax.Array, omega) -> CSR:
+    """(I - omega D^-1 A) with A's pattern, as CSR."""
+    n = A.shape[0]
+    live = A.mask
+    rsafe = jnp.minimum(A.row, n - 1)
+    data = -omega * Dinv[rsafe] * A.data
+    data = jnp.where(live & (A.row == A.col), data + 1.0, data)
+    data = jnp.where(live, data, 0.0)
+    return CSR(data, A.row, A.col, A.indptr, A.shape, A.nnz)
+
+
+def factored_sa(A, T: Agg, omega=None, power_iters: int = 30) -> FactoredSA:
+    """Build the factored SA prolongator for A and an aggregation operator.
+
+    Numerically identical to ``sa_interpolation_dense(A, T.agg_id, T.k)``
+    (same omega default: (4/3)/rho(D^-1 A) by power iteration)."""
+    from mlamg_tpu.mg.interp import sa_omega
+
+    d = A.diagonal()
+    Dinv = 1.0 / jnp.where(d != 0, d, 1.0)
+    if omega is None:
+        omega = sa_omega(A, Dinv, iters=power_iters)
+    if isinstance(A, DIA):
+        S = dia_jacobi_operator(A, Dinv, omega)
+        if S is None:  # no stored main diagonal: fall back to CSR
+            S = _csr_jacobi_smoother(
+                CSR.from_scipy(A.to_scipy()), Dinv, omega
+            )
+            St = matmul.transpose(S)
+        else:
+            St = dia_transpose(S)
+    else:
+        S = _csr_jacobi_smoother(A, Dinv, omega)
+        St = matmul.transpose(S)
+    return FactoredSA(S, St, T)
+
+
+def coarse_operator_factored(A, P: FactoredSA, block: int = 128) -> jax.Array:
+    """Dense Galerkin operator P^T A P, formed in column blocks.
+
+    Never materializes the (n, k) dense P; peak extra memory is one
+    (n, block) slab.  Setup-time only (jittable)."""
+    k = P.shape[1]
+    eye = jnp.eye(k, dtype=P.dtype)
+    cols = []
+    for j0 in range(0, k, block):
+        E = eye[:, j0 : min(j0 + block, k)]
+        X = P.interp_mm(E)  # (n, c)
+        Y = matmul.spmm(A, X)
+        cols.append(P.restrict_mm(Y))  # (k, c)
+    return jnp.concatenate(cols, axis=1)
