@@ -1,0 +1,144 @@
+"""Structured multilevel hierarchy: every level a DIA stencil, every
+prolongator factored — the all-streaming V-cycle for regular-grid problems.
+
+The Galerkin coarse operator of a stencil matrix under box aggregation is
+again a stencil matrix on the coarse grid (reach R = ceil(3*r/s) for a
+fine reach-r stencil smoothed on both sides).  Rather than running a
+general sparse SpGEMM, :func:`dia_galerkin_probe` recovers the coarse
+stencil by *colored probing* (the sparse-Jacobian estimation trick): color
+the coarse cells on a (2R+1, 2R+1) tile so that no two same-colored cells
+share a row of A_H, apply A_H = P^T A P to the (2R+1)^2 probe indicator
+vectors — each application is three streaming fine-grid passes — and read
+each column's entries out of its probe's image.  No gather, no sort, no
+nnz bounds: setup cost is (2R+1)^2 fused SpMV-class passes per level.
+
+Replaces the role of the reference's scipy SpGEMM RAP
+(ns/lib/multigrid.py:165) on its structured problem families
+(ns/model/data.py:246-298, 435-544); the unstructured path keeps the
+static-shape SpGEMM (`ops.matmul.rap_fused`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.ops.dia import DIA
+from mlamg_tpu.mg.factored import BoxAgg2D, FactoredSA, factored_sa
+from mlamg_tpu.mg.coarse import CoarseSolver
+from mlamg_tpu.mg.cycle import Hierarchy
+
+
+def _decompose_offsets(offsets, nx: int):
+    """Map DIA offsets o = dy*nx + dx to 2-D displacements (|dx| < nx/2)."""
+    out = []
+    for o in offsets:
+        dx = ((o + nx // 2) % nx) - nx // 2
+        dy = (o - dx) // nx
+        out.append((dy, dx))
+    return out
+
+
+def dia_galerkin_probe(A: DIA, P: FactoredSA) -> DIA:
+    """Coarse Galerkin operator P^T A P as a DIA on the coarse grid.
+
+    ``P`` must be a factored SA prolongator over a :class:`BoxAgg2D`.
+    Jittable; setup-time cost is (2R+1)^2 applications of P^T A P."""
+    T = P.T
+    assert isinstance(T, BoxAgg2D), "probing requires a structured BoxAgg2D"
+    ny, nx, sy, sx = T.ny, T.nx, T.sy, T.sx
+    ncy, ncx = ny // sy, nx // sx
+    k = ncy * ncx
+
+    # fine reach of S^T A S per axis (S shares A's offsets)
+    disp = _decompose_offsets(A.offsets, nx)
+    ry = max((abs(dy) for dy, _ in disp), default=0)
+    rx = max((abs(dx) for _, dx in disp), default=0)
+    Ry = -(-3 * ry // sy)  # ceil: S^T A S reach, then box-coarsened
+    Rx = -(-3 * rx // sx)
+    cy_stride, cx_stride = 2 * Ry + 1, 2 * Rx + 1
+
+    iy = jnp.arange(ncy)[:, None]
+    ix = jnp.arange(ncx)[None, :]
+    color_y = (iy % cy_stride).astype(jnp.int32)
+    color_x = (ix % cx_stride).astype(jnp.int32)
+
+    # one probe per color: indicator over same-colored coarse cells
+    images = {}
+    for cy in range(cy_stride):
+        for cx in range(cx_stride):
+            probe = ((color_y == cy) & (color_x == cx)).astype(P.dtype)
+            from mlamg_tpu.ops import matmul
+
+            y = P.restrict(matmul.spmv(A, P.interp(probe.reshape(k))))
+            images[(cy, cx)] = y.reshape(ncy, ncx)
+
+    # read the coarse stencil: A_H[I, I + (Dy, Dx)] = image_{color(I+D)}[I]
+    offsets = []
+    rows = []
+    for Dy in range(-Ry, Ry + 1):
+        for Dx in range(-Rx, Rx + 1):
+            data = jnp.zeros((ncy, ncx), P.dtype)
+            # column J = I + D exists iff in-bounds; its color is fixed per
+            # (I color, D) — assemble from the matching probe image slices
+            for cy in range(cy_stride):
+                for cx in range(cx_stride):
+                    jy_color = (cy + Dy) % cy_stride
+                    jx_color = (cx + Dx) % cx_stride
+                    img = images[(jy_color, jx_color)]
+                    mask = (
+                        (color_y == cy)
+                        & (color_x == cx)
+                        & (iy + Dy >= 0)
+                        & (iy + Dy < ncy)
+                        & (ix + Dx >= 0)
+                        & (ix + Dx < ncx)
+                    )
+                    data = jnp.where(mask, img, data)
+            offsets.append(Dy * ncx + Dx)
+            rows.append(data.reshape(k))
+    return DIA(jnp.stack(rows), tuple(offsets), (k, k))
+
+
+def build_structured_hierarchy(
+    A: DIA,
+    ny: int,
+    nx: int,
+    *,
+    sides=(16, 8),
+    omega: float = 0.65,
+    min_coarse: int = 64,
+    coarse_method: str = "inverse",
+    block: bool = True,
+) -> Hierarchy:
+    """All-DIA hierarchy for a stencil operator on an (ny, nx) grid.
+
+    ``sides[l]`` is the box side at level l; coarsening stops early when
+    the grid no longer divides or k <= min_coarse.  Every prolongator is
+    factored (never materialized) and every coarse operator is recovered
+    by colored probing — the setup is a fixed number of streaming passes.
+    """
+    from mlamg_tpu.ops.pallas_kernels import blocked_dia
+
+    As = [A]
+    Ps = []
+    Dinvs = []
+    cy, cx = ny, nx
+    level_A = A
+    for side in sides:
+        sy = sx = side
+        if cy % sy or cx % sx or (cy // sy) * (cx // sx) <= min_coarse:
+            break
+        P = factored_sa(level_A, BoxAgg2D(ny=cy, nx=cx, sy=sy, sx=sx), omega=omega)
+        A_next = dia_galerkin_probe(level_A, P)
+        d = level_A.diagonal()
+        Dinvs.append(1.0 / jnp.where(d != 0, d, 1.0))
+        cy, cx = cy // sy, cx // sx
+        if block and jax.default_backend() == "tpu" and (cy * cx) % 128 == 0:
+            A_next = blocked_dia(A_next)
+        Ps.append(P)
+        As.append(A_next)
+        level_A = A_next
+    coarse = CoarseSolver.factor(As[-1].todense(), method=coarse_method)
+    return Hierarchy(tuple(As[:-1]), tuple(Ps), tuple(Dinvs), coarse)
