@@ -268,7 +268,8 @@ def bench_model_forward():
     A = CSR.from_scipy(g.A, dtype=jnp.float32)
     n = g.A.shape[0]
     k = int(np.ceil(0.1 * n))
-    net = FullAggNet(dim=8, num_conv=2, iterations=2)
+    width = int(np.max(np.diff(g.A.tocsr().indptr)))
+    net = FullAggNet(dim=8, num_conv=2, iterations=2, bf_width=width)
     params = net.init(jax.random.PRNGKey(0), A, k)
 
     from functools import partial

@@ -24,6 +24,20 @@ def force_platform(platform: str | None):
         jax.config.update("jax_platforms", platform)
 
 
+def dataset_bf_width(grids) -> int:
+    """Static max row degree across a dataset's matrices — enables the
+    gather-only pull-mode Bellman-Ford + ELL message aggregation in the
+    model forward (graph/bellman_ford.py, models/graphdata.py).  A width
+    larger than any row's degree is safe (spare slots are inert)."""
+    import scipy.sparse as sp
+
+    w = 1
+    for g in grids:
+        A = sp.csr_matrix(g.A)
+        w = max(w, int(np.diff(A.indptr).max()))
+    return w
+
+
 def load_dataset_grids(system: str):
     """Load raw train/test Grids from .grid dirs
     (reference train_dataset.py:62-69)."""

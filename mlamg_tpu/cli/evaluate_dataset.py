@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mlamg_tpu.cli.common import parse_bool_str
+from mlamg_tpu.cli.common import dataset_bf_width, parse_bool_str
 from mlamg_tpu.data import Grid
 from mlamg_tpu.graph.strength import STRENGTH_MEASURES
 from mlamg_tpu.models import FullAggNet
@@ -84,7 +84,8 @@ def main(argv=None):
     print(f"random: mean conv {results['random'].mean():.4f} ({time.time()-t:.1f}s)")
 
     if args.model:
-        net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations)
+        net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations,
+                         bf_width=dataset_bf_width(grids))
         params = load_checkpoint(args.model)["best_params"]
         t = time.time()
         results["ml"] = evaluate_model_on_bundles(net, params, bundles, opts)

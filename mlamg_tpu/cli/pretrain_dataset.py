@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mlamg_tpu.cli.common import force_platform, load_dataset_grids
+from mlamg_tpu.cli.common import dataset_bf_width, force_platform, load_dataset_grids
 
 
 def build_targets(grids, alpha: float, strength_kind: str, omega: float = 2.0 / 3.0):
@@ -103,7 +103,8 @@ def main(argv=None):
     print(f"{len(data)} training grids")
 
     net = FullAggNet(dim=args.dim, num_conv=args.num_conv,
-                     iterations=args.iterations)
+                     iterations=args.iterations,
+                     bf_width=dataset_bf_width(train_grids))
     A0, k0 = data[0][0], data[0][1]
     params = net.init(jax.random.PRNGKey(args.seed), A0, k0)
     opt = optax.adam(args.lr)

@@ -21,6 +21,7 @@ from mlamg_tpu.cli.common import (
     add_training_args,
     load_dataset_grids,
     compute_reference_convs,
+    dataset_bf_width,
     force_platform,
 )
 from mlamg_tpu.models import FullAggNet
@@ -87,7 +88,8 @@ def main(argv=None):
         print("benchmark-only: reference convs cached, exiting")
         return
 
-    net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations)
+    net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations,
+                     bf_width=dataset_bf_width(train_grids))
     params = net.init(jax.random.PRNGKey(0), train[0].A, train[0].k)
     if args.start_model:
         params = load_checkpoint(args.start_model)["best_params"]

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from mlamg_tpu.cli.common import (
     load_dataset_grids,
     compute_reference_convs,
+    dataset_bf_width,
     force_platform,
 )
 
@@ -122,7 +123,8 @@ def main(argv=None):
     print(f"test Lloyd benchmark conv: {te_ref.mean():.4f}", flush=True)
 
     net = FullAggNet(
-        dim=args.dim, num_conv=args.num_conv, iterations=args.iterations
+        dim=args.dim, num_conv=args.num_conv, iterations=args.iterations,
+        bf_width=dataset_bf_width(train_grids),
     )
     A0 = jax.tree_util.tree_map(lambda x: x[0], train_buckets[0].A)
     params = net.init(jax.random.PRNGKey(args.seed), A0, train_buckets[0].k)

@@ -81,6 +81,94 @@ def bellman_ford(C, centers: jax.Array, max_iter: int | None = None):
     return dist, near
 
 
+def _transpose_data_order(C) -> jax.Array:
+    """Permutation p with ``C.data[p]`` = the transpose's data laid out on
+    C's own (row, col) structure — valid when C's *pattern* is symmetric
+    (values may be directed).  Stable lexsort by (col, row); padding
+    entries keep their tail position."""
+    n = C.shape[0]
+    live = C.row < n
+    ck = jnp.where(live, C.col, n)
+    rk = jnp.where(live, C.row, n)
+    return jnp.lexsort((rk, ck))
+
+
+def bellman_ford_pull(C, centers: jax.Array, *, width: int, max_iter: int | None = None):
+    """Gather-only Bellman-Ford — same contract as :func:`bellman_ford`
+    for symmetric-*pattern* C (the model pipeline's case: learned edge
+    weights on A's FEM pattern, directed values).
+
+    The push form relaxes by ``segment_min`` — an nnz-sized scatter per
+    sweep, which XLA:TPU serializes (sort-based scatter); measured, the
+    while-loop dominates the whole FullAggNet forward.  This form
+    iterates in *pull* mode on the transposed weights laid out in ELL:
+
+        dist_j = min_s  dist[col[j, s]] + w^T[j, s]
+
+    — per sweep, two (n, width) gathers and a row-min.  No scatter, no
+    segment ops; the one-time ELL repack is a single scatter per call.
+
+    ``width`` is the static max row degree (= max col degree by pattern
+    symmetry).  Rows with more than ``width`` live entries are rejected
+    at trace time where shapes allow; callers compute width host-side
+    from the pattern.
+    """
+    n = C.shape[0]
+    if max_iter is None:
+        max_iter = n
+    order = _transpose_data_order(C)
+    data_t = C.data[order]
+
+    # ELL repack with BF-friendly padding: col sentinel n (reads an
+    # appended +inf), weight +inf.  (CSR.to_ell zero-fills padding, which
+    # would let empty slots relax through node 0.)
+    live = C.row < n
+    rsafe = jnp.minimum(C.row, n - 1)
+    indptr = C.indptr
+    within = jnp.arange(C.row.shape[0], dtype=jnp.int32) - indptr[rsafe].astype(
+        jnp.int32
+    )
+    slot = jnp.where(live & (within < width), rsafe * width + within, n * width)
+    colE = (
+        jnp.full(n * width + 1, n, jnp.int32)
+        .at[slot]
+        .set(jnp.where(live, C.col, n))[: n * width]
+        .reshape(n, width)
+    )
+    wE = (
+        jnp.full(n * width + 1, jnp.inf, C.data.dtype)
+        .at[slot]
+        .set(jnp.where(live, data_t, jnp.inf))[: n * width]
+        .reshape(n, width)
+    )
+
+    dist0 = jnp.full((n,), _BIG, C.data.dtype).at[centers].set(0.0)
+    near0 = jnp.full((n,), n, jnp.int32).at[centers].set(centers.astype(jnp.int32))
+
+    def cond(state):
+        _, _, changed, it = state
+        return changed & (it < max_iter)
+
+    def body(state):
+        dist, near, _, it = state
+        distp = jnp.concatenate([dist, jnp.full((1,), _BIG, dist.dtype)])
+        nearp = jnp.concatenate([near, jnp.full((1,), n, jnp.int32)])
+        cand = distp[colE] + wE  # (n, width)
+        best = jnp.min(cand, axis=1)
+        improved = best < dist
+        new_dist = jnp.where(improved, best, dist)
+        near_cand = jnp.min(
+            jnp.where(cand <= new_dist[:, None], nearp[colE], n), axis=1
+        )
+        new_near = jnp.where(improved, near_cand, near)
+        return new_dist, new_near, jnp.any(improved), it + 1
+
+    dist, near, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, near0, jnp.bool_(True), jnp.int32(0))
+    )
+    return dist, near
+
+
 def nearest_center_to_agg(centers: jax.Array, nearest: jax.Array) -> jax.Array:
     """Aggregate column id for every node: ``agg_id[i] = j`` s.t.
     ``centers[j] == nearest[i]`` (k sentinel for unassigned nodes).

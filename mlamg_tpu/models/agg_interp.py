@@ -28,7 +28,11 @@ import flax.linen as nn
 
 from mlamg_tpu.ops.sparse import CSR
 from mlamg_tpu.graph.topk import topk_mask, topk_indices
-from mlamg_tpu.graph.bellman_ford import bellman_ford, nearest_center_to_agg
+from mlamg_tpu.graph.bellman_ford import (
+    bellman_ford,
+    bellman_ford_pull,
+    nearest_center_to_agg,
+)
 from mlamg_tpu.models.graphdata import (
     GraphData,
     graph_from_matrix_basic,
@@ -159,19 +163,29 @@ class FullAggNet(nn.Module):
     dim: int = 64
     num_conv: int = 2
     iterations: int = 4
+    # static max row degree of A's (symmetric) pattern: enables the
+    # gather-only pull-mode Bellman-Ford (see graph/bellman_ford.py) —
+    # the push form's per-sweep segment_min scatter dominates the whole
+    # forward on TPU.  None falls back to push mode.
+    bf_width: Optional[int] = None
 
     def setup(self):
         self.PNet = MPNN(self.dim, num_internal_conv=4, input_edge_features=2)
         self.AggNetM = AggNet(self.dim, iterations=self.iterations, num_conv=self.num_conv)
         self.CNet = MPNN(self.dim, num_internal_conv=5, input_edge_features=1)
 
+    def _bf(self, C, centers):
+        if self.bf_width is not None:
+            return bellman_ford_pull(C, centers, width=self.bf_width)
+        return bellman_ford(C, centers)
+
     def agg_only(self, A: CSR, k: int):
-        g = graph_from_matrix_basic(A)
+        g = graph_from_matrix_basic(A, ell_width=self.bf_width)
         node_mask, scores = self.AggNetM(g, k)
         centers = topk_indices(scores, k)
         _, bf_edges = self.CNet(g)
         C = A.with_data(jnp.where(A.mask, bf_edges[:, 0], 0.0))
-        _, nearest = bellman_ford(C, centers)
+        _, nearest = self._bf(C, centers)
         return nearest_center_to_agg(centers, nearest)
 
     def int_only(self, A: CSR, agg_id: jax.Array, k: int) -> CSR:
@@ -190,7 +204,7 @@ class FullAggNet(nn.Module):
         """
         n = A.shape[0]
         n_real = None if pad is None else pad[0]
-        g = graph_from_matrix_basic(A, n_real=n_real)
+        g = graph_from_matrix_basic(A, n_real=n_real, ell_width=self.bf_width)
 
         # 1. node scores -> centers
         node_mask, scores = self.AggNetM(g, k, pad=pad)
@@ -201,11 +215,11 @@ class FullAggNet(nn.Module):
         C = A.with_data(jnp.where(A.mask, bf_edges[:, 0], 0.0))
 
         # 3. aggregate assignment by on-device BF
-        _, nearest = bellman_ford(C, centers)
+        _, nearest = self._bf(C, centers)
         agg_id = nearest_center_to_agg(centers, nearest)
 
         # 4. interpolation smoother on the 2-feature graph
-        g2 = graph_from_matrix(A, agg_id, n_real=n_real)
+        g2 = graph_from_matrix(A, agg_id, n_real=n_real, ell_width=self.bf_width)
         _, p_edges = self.PNet(g2)
         P = _phat_times_agg(A, p_edges[:, 0], agg_id, k, n_real=n_real)
         return agg_id, P, C, centers, node_mask
@@ -218,6 +232,7 @@ class AggOnlyNet(nn.Module):
     dim: int = 64
     num_conv: int = 6
     iterations: int = 2
+    bf_width: Optional[int] = None  # see FullAggNet.bf_width
 
     def setup(self):
         self.AggNetM = AggNet(self.dim, iterations=self.iterations, num_conv=self.num_conv)
@@ -226,12 +241,17 @@ class AggOnlyNet(nn.Module):
     def __call__(self, A: CSR, k: int, pad=None):
         from mlamg_tpu.mg.interp import smoothed_aggregation
 
-        g = graph_from_matrix_basic(A, n_real=None if pad is None else pad[0])
+        g = graph_from_matrix_basic(
+            A, n_real=None if pad is None else pad[0], ell_width=self.bf_width
+        )
         node_mask, scores = self.AggNetM(g, k, pad=pad)
         centers = topk_indices(scores, k)
         _, bf_edges = self.CNet(g)
         C = A.with_data(jnp.where(A.mask, bf_edges[:, 0], 0.0))
-        _, nearest = bellman_ford(C, centers)
+        if self.bf_width is not None:
+            _, nearest = bellman_ford_pull(C, centers, width=self.bf_width)
+        else:
+            _, nearest = bellman_ford(C, centers)
         agg_id = nearest_center_to_agg(centers, nearest)
         P = smoothed_aggregation(A, agg_id, k)
         return agg_id, P, C, centers, node_mask

@@ -79,9 +79,7 @@ def _sym_norm_weights(g: GraphData, edge_weight: jax.Array) -> jax.Array:
     mask = g.edge_mask
     w = jnp.where(mask, edge_weight, 0.0)
     src = jnp.minimum(g.src, n - 1)
-    deg = jax.ops.segment_sum(
-        jnp.abs(w), jnp.where(mask, g.dst, n), num_segments=n
-    )
+    deg = scatter_to_dst(g, jnp.abs(w)[:, None])[:, 0]
     dinv_sqrt = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
     return w * dinv_sqrt[src] * dinv_sqrt[g.dst] * mask
 
@@ -96,11 +94,10 @@ class TAGConv(nn.Module):
     def __call__(self, g: GraphData, x: jax.Array, edge_weight: jax.Array):
         w = _sym_norm_weights(g, edge_weight)
         src = jnp.minimum(g.src, g.n - 1)
-        dst = jnp.where(g.edge_mask, g.dst, g.n)
 
         def prop(h):
             msg = w[:, None] * h[src]
-            return jax.ops.segment_sum(msg, dst, num_segments=g.n)
+            return scatter_to_dst(g, msg)
 
         h = x
         out = nn.Dense(self.out_dim)(h)

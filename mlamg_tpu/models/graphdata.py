@@ -22,7 +22,7 @@ from mlamg_tpu.ops.sparse import CSR
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["src", "dst", "edge_attr", "x", "node_mask"],
+    data_fields=["src", "dst", "edge_attr", "x", "node_mask", "in_ell"],
     meta_fields=["n"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +35,12 @@ class GraphData:
     node_mask: (n,) bool or None — False marks padding nodes (grids padded
         to a shape bucket); global reductions (InstanceNorm) must ignore
         padding so a padded grid's real-node outputs match the unpadded run
+    in_ell   : (n, w) int32 or None — edge-list positions of each node's
+        incoming edges (E_pad sentinel in empty slots).  When present,
+        every message aggregation runs as gather + row-sum instead of a
+        ``segment_sum`` scatter — XLA:TPU serializes nnz-sized scatters
+        (sort-based), and the ~30 per-conv scatters dominate the model
+        forward.  Built once per graph by :func:`build_in_ell`.
     """
 
     src: jax.Array
@@ -43,6 +49,7 @@ class GraphData:
     x: jax.Array
     n: int
     node_mask: jax.Array | None = None
+    in_ell: jax.Array | None = None
 
     @property
     def num_edges_pad(self) -> int:
@@ -65,16 +72,45 @@ def _node_init(n: int, n_real, dtype):
     return x, mask
 
 
-def graph_from_matrix_basic(A: CSR, n_real=None) -> GraphData:
+def build_in_ell(row: jax.Array, col: jax.Array, n: int, width: int) -> jax.Array:
+    """(n, width) edge-list positions of each node's incoming edges.
+
+    ``width`` is the static max in-degree of the pattern (nodes with more
+    incoming edges than ``width`` would silently drop messages — callers
+    derive it host-side from the problem family).  Jittable: one lexsort,
+    one searchsorted, one scatter — paid once per graph and amortized
+    over every conv's aggregation."""
+    E_pad = row.shape[0]
+    live = row < n
+    ck = jnp.where(live, col, n)
+    rk = jnp.where(live, row, n)
+    order = jnp.lexsort((rk, ck))  # edge ids sorted by (dst, src); pad last
+    dst_sorted = ck[order]
+    first = jnp.searchsorted(dst_sorted, dst_sorted, side="left")
+    within = jnp.arange(E_pad, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (dst_sorted < n) & (within < width)
+    slot = jnp.where(ok, dst_sorted * width + within, n * width)
+    return (
+        jnp.full(n * width + 1, E_pad, jnp.int32)
+        .at[slot]
+        .set(order.astype(jnp.int32))[: n * width]
+        .reshape(n, width)
+    )
+
+
+def graph_from_matrix_basic(A: CSR, n_real=None, ell_width=None) -> GraphData:
     """Node features 1/n, edge feature |a_ij| (reference data.py:39-46)."""
     n = A.shape[0]
     x, mask = _node_init(n, n_real, A.data.dtype)
     attr = jnp.abs(A.data)[:, None]
     attr = jnp.where(A.mask[:, None], attr, 0.0)
-    return GraphData(A.row, A.col, attr, x, n, mask)
+    in_ell = (
+        None if ell_width is None else build_in_ell(A.row, A.col, n, ell_width)
+    )
+    return GraphData(A.row, A.col, attr, x, n, mask, in_ell)
 
 
-def graph_from_matrix(A: CSR, agg_id: jax.Array, n_real=None) -> GraphData:
+def graph_from_matrix(A: CSR, agg_id: jax.Array, n_real=None, ell_width=None) -> GraphData:
     """Two edge features: |a_ij| and cluster adjacency (0 = same aggregate,
     1 = different), reference data.py:22-37."""
     n = A.shape[0]
@@ -83,7 +119,10 @@ def graph_from_matrix(A: CSR, agg_id: jax.Array, n_real=None) -> GraphData:
     same = agg_id[rsafe] == agg_id[A.col]
     attr = jnp.stack([jnp.abs(A.data), jnp.where(same, 0.0, 1.0)], axis=1)
     attr = jnp.where(A.mask[:, None], attr, 0.0)
-    return GraphData(A.row, A.col, attr, x, n, mask)
+    in_ell = (
+        None if ell_width is None else build_in_ell(A.row, A.col, n, ell_width)
+    )
+    return GraphData(A.row, A.col, attr, x, n, mask, in_ell)
 
 
 def graph_from_matrix_node_vals(A: CSR, x: jax.Array) -> GraphData:
@@ -107,6 +146,13 @@ def gather_dst(g: GraphData, x: jax.Array) -> jax.Array:
 
 
 def scatter_to_dst(g: GraphData, messages: jax.Array) -> jax.Array:
-    """Sum edge messages into destination nodes (padding dropped)."""
+    """Sum edge messages into destination nodes (padding dropped).
+
+    With ``g.in_ell`` this is a gather + row-sum (no scatter); otherwise
+    a segment-sum."""
+    if g.in_ell is not None:
+        pad_shape = (1,) + messages.shape[1:]
+        mp = jnp.concatenate([messages, jnp.zeros(pad_shape, messages.dtype)], 0)
+        return jnp.sum(mp[g.in_ell], axis=1)
     dst = jnp.where(g.edge_mask, g.dst, g.n)
     return jax.ops.segment_sum(messages, dst, num_segments=g.n)

@@ -240,3 +240,61 @@ class TestStrength:
         d_strong = C[i, i + 1]
         d_weak = C[i, i + nx]
         assert d_strong < d_weak / 5
+
+
+class TestBellmanFordPull:
+    """Gather-only pull-mode BF vs the push form (same contract on
+    symmetric-pattern, directed-value graphs — the model pipeline's case)."""
+
+    def _directed_symmetric_pattern(self, rng, n, density=0.12):
+        A = sp.random(n, n, density=density, format="coo", random_state=rng)
+        A = A + A.T  # symmetrize the PATTERN
+        A = A.tocoo()
+        A.data = rng.rand(A.nnz) + 0.05  # fresh directed values per entry
+        A.setdiag(0)
+        A.eliminate_zeros()
+        return A.tocsr()
+
+    def test_matches_push_directed_values(self, rng):
+        G = self._directed_symmetric_pattern(rng, 70)
+        centers = jnp.asarray(np.array([1, 33, 55], dtype=np.int32))
+        Gc = CSR.from_scipy(G, dtype=jnp.float64)
+        width = int(np.max(np.diff(G.indptr)))
+        from mlamg_tpu.graph import bellman_ford_pull
+
+        d0, n0 = jax.jit(bellman_ford)(Gc, centers)
+        d1, n1 = jax.jit(
+            lambda C, c: bellman_ford_pull(C, c, width=width)
+        )(Gc, centers)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n0))
+
+    def test_matches_dijkstra_padded(self, rng):
+        G = self._directed_symmetric_pattern(rng, 60)
+        centers = jnp.asarray(np.array([3, 17, 42], dtype=np.int32))
+        width = int(np.max(np.diff(G.indptr)))
+        Gc = CSR.from_scipy(G, nnz_pad=G.nnz + 37, dtype=jnp.float64)
+        from mlamg_tpu.graph import bellman_ford_pull
+
+        d1, _ = jax.jit(lambda C, c: bellman_ford_pull(C, c, width=width + 2))(
+            Gc, centers
+        )
+        d_ref = csgraph.dijkstra(G, indices=np.asarray(centers), min_only=True)
+        np.testing.assert_allclose(np.asarray(d1), d_ref, atol=1e-10)
+
+    def test_fullaggnet_pull_matches_push(self):
+        from mlamg_tpu.models import FullAggNet
+
+        G = poisson2d(12)
+        Ac = CSR.from_scipy(G, dtype=jnp.float32)
+        width = int(np.max(np.diff(G.tocsr().indptr)))
+        k = 14
+        push_net = FullAggNet(dim=4, num_conv=2, iterations=1)
+        pull_net = FullAggNet(dim=4, num_conv=2, iterations=1, bf_width=width)
+        params = push_net.init(jax.random.PRNGKey(0), Ac, k)
+        agg0, P0, *_ = push_net.apply(params, Ac, k)
+        agg1, P1, *_ = pull_net.apply(params, Ac, k)
+        np.testing.assert_array_equal(np.asarray(agg0), np.asarray(agg1))
+        np.testing.assert_allclose(
+            np.asarray(P0.data), np.asarray(P1.data), atol=1e-6
+        )
