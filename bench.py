@@ -175,10 +175,27 @@ def bench_vcycle_16m():
 
     from functools import partial
 
+    # correctness first: with b = 0, ||x|| is the error norm — measure the
+    # per-cycle contraction and refuse to publish a timing for a hierarchy
+    # that does not converge (the timed loop below runs unscaled)
+    @jax.jit
+    def conv_check(h, b, x0):
+        def body(x, _):
+            x2 = vcycle(h, b, x, nu=1)
+            return x2, jnp.linalg.norm(x2)
+
+        _, norms = jax.lax.scan(body, x0, None, length=6)
+        return norms
+
+    norms = np.asarray(conv_check(h, b, x0))
+    conv = float((norms[-1] / norms[1]) ** (1.0 / (len(norms) - 2)))
+    if not (np.all(np.isfinite(norms)) and conv < 1.0):
+        raise RuntimeError(f"16.8M V-cycle does not converge: factor {conv}")
+
     @partial(jax.jit, static_argnames=("iters",))
     def run(h, b, x0, iters):
         def body(i, x):
-            return vcycle(h, b, x, nu=1) * 1e-3
+            return vcycle(h, b, x, nu=1)
 
         return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
 
@@ -196,6 +213,7 @@ def bench_vcycle_16m():
         "n": n,
         "nnz": int(A.nnz),
         "levels": h.num_levels + 1,
+        "conv_factor": round(conv, 4),
         "scheme": "all-DIA probed-Galerkin hierarchy, factored P",
         "gnnz_per_s_fine_sweeps": round(4 * A.nnz / dt / 1e9, 3),
     }

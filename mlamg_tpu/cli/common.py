@@ -25,16 +25,34 @@ def force_platform(platform: str | None):
 
 
 def dataset_bf_width(grids) -> int:
-    """Static max row degree across a dataset's matrices — enables the
-    gather-only pull-mode Bellman-Ford + ELL message aggregation in the
+    """Static max row/column degree across a dataset's matrices — enables
+    the gather-only pull-mode Bellman-Ford + ELL message aggregation in the
     model forward (graph/bellman_ford.py, models/graphdata.py).  A width
-    larger than any row's degree is safe (spare slots are inert)."""
+    larger than any degree is safe (spare slots are inert).
+
+    The pull-BF / in-ELL scheme buckets edges by *destination* (needs the
+    max in/column degree) and assumes a symmetric sparsity pattern; both
+    are validated here so an unsuitable dataset errors at setup instead of
+    silently dropping edges downstream.
+    """
     import scipy.sparse as sp
 
     w = 1
-    for g in grids:
+    for i, g in enumerate(grids):
         A = sp.csr_matrix(g.A)
-        w = max(w, int(np.diff(A.indptr).max()))
+        pat = A.copy()
+        pat.data = np.ones_like(pat.data)
+        if (pat != pat.T).nnz != 0:
+            name = (g.extra or {}).get("filename", f"grid {i}")
+            raise ValueError(
+                f"{name}: sparsity pattern is not symmetric — the pull-mode "
+                "Bellman-Ford / ELL message aggregation requires a symmetric "
+                "pattern (symmetrize the matrix pattern or use the push-mode "
+                "model with bf_width=None)"
+            )
+        row_deg = int(np.diff(A.indptr).max())
+        col_deg = int(np.diff(A.tocsc().indptr).max())
+        w = max(w, row_deg, col_deg)
     return w
 
 

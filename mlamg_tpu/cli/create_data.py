@@ -39,11 +39,32 @@ def gen_one(kind: str, rng: np.random.RandomState, target_dof: int,
         eps = 10.0 ** rng.uniform(lo, hi)
         theta = rng.uniform(0, 2 * np.pi)
         return Grid.structured_2d_poisson_dirichlet(side, side, eps, theta)
-    if kind == "3d":
-        side = max(4, round(target_dof ** (1 / 3)))
-        eps = 10.0 ** rng.uniform(-3, 0, size=3)
-        R = rotation_matrix_3d(*rng.uniform(0, np.pi, 3))
-        return Grid.structured_3d_laplace_dirichlet(side, side, side, epsilon=eps, R=R)
+    if kind in ("3d", "3d_aniso"):
+        # reference recipe (utils/create_3d_laplace.py:81-94): per-axis mesh
+        # sizes N ~ U{8..14} (interior dofs N-1 each), iso: K = I; aniso:
+        # eps_x, eps_y ~ 10^U(-4, 4), eps_z = 1, R = R_y(theta_y) R_z(theta_z)
+        nx, ny, nz = (int(rng.randint(8, 15)) - 1 for _ in range(3))
+        if kind == "3d":
+            eps, R = np.ones(3), np.eye(3)
+        else:
+            eps = np.array([
+                10.0 ** rng.uniform(-4.0, 4.0),
+                10.0 ** rng.uniform(-4.0, 4.0),
+                1.0,
+            ])
+            ty, tz = rng.uniform(0, 2 * np.pi, 2)
+            Rz = np.array([
+                [np.cos(tz), -np.sin(tz), 0.0],
+                [np.sin(tz), np.cos(tz), 0.0],
+                [0.0, 0.0, 1.0],
+            ])
+            Ry = np.array([
+                [np.cos(ty), 0.0, np.sin(ty)],
+                [0.0, 1.0, 0.0],
+                [-np.sin(ty), 0.0, np.cos(ty)],
+            ])
+            R = Ry @ Rz
+        return Grid.structured_3d_laplace_dirichlet(nx, ny, nz, epsilon=eps, R=R)
     raise ValueError(f"unknown dataset type {kind}")
 
 
@@ -52,7 +73,7 @@ def main(argv=None):
     p.add_argument("out_dir", type=str)
     p.add_argument("--n-grids", type=int, default=100)
     p.add_argument("--type", default="isotropic",
-                   choices=["isotropic", "anisotropic", "jump", "structured", "3d"])
+                   choices=["isotropic", "anisotropic", "jump", "structured", "3d", "3d_aniso"])
     p.add_argument("--dof", type=int, default=300, help="approximate unknowns per grid")
     p.add_argument("--dof-min", type=int, default=0,
                    help="if >0, draw each grid's dof uniformly from [dof-min, dof-max] "

@@ -60,7 +60,14 @@ def cf_inputs(A_scipy, theta: float, dtype):
 def main(argv=None):
     p = argparse.ArgumentParser(description="Train CF-interp net, demo deployment")
     p.add_argument("--train-sizes", type=int, nargs="+", default=[8, 10, 12])
-    p.add_argument("--eval-size", type=int, default=14)
+    p.add_argument("--eval-sizes", type=int, nargs="+", default=[14, 16, 20],
+                   help="held-out resolutions for the pressure-solve "
+                        "comparison (learned vs classical PC)")
+    p.add_argument("--eval-rhs-seeds", type=int, default=5,
+                   help="random right-hand sides per resolution "
+                        "(mean +- std error bars)")
+    p.add_argument("--eval-size", type=int, default=14,
+                   help="resolution of the full Stokes Schur round trip")
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--theta", type=float, default=0.56)
@@ -132,11 +139,47 @@ def main(argv=None):
     if args.checkpoint:
         save_checkpoint(args.checkpoint, generation=args.epochs, best_params=params)
 
-    # ---- deployment comparison on a held-out resolution ----
-    s = lid_driven_cavity(n=args.eval_size, Re=10.0, dt=0.05)
-    A_eval = pinned_pressure_laplacian(s)
+    # ---- deployment comparison 1: the PC's own solve (the MLAMG role —
+    # the reference applies this model family to the pressure/Schur block,
+    # ns/preconditioner/MLAMG.py:148-212).  FGMRES on held-out pressure
+    # Laplacians, learned vs classical PC, several random right-hand sides
+    # per resolution for error bars. ----
+    from mlamg_tpu.mg.krylov import fgmres
+
     pc_opts = Options({"mlamg_amg_rtol": 0.0, "mlamg_max_iter": 2,
                        "mlamg_greedy_theta": args.theta})
+    pressure = []
+    for nres in args.eval_sizes:
+        se = lid_driven_cavity(n=nres, Re=10.0)
+        A_eval = pinned_pressure_laplacian(se)
+        pcs = {
+            "learned": LearnedAMGPreconditioner(
+                A_eval, pc_opts, net=net, net_params=params, dtype=dtype
+            ),
+            "classical": LearnedAMGPreconditioner(A_eval, pc_opts, dtype=dtype),
+        }
+        Ad = pcs["learned"].A
+        iters = {k: [] for k in pcs}
+        for sd in range(args.eval_rhs_seeds):
+            bb = np.random.RandomState(1000 + sd).randn(A_eval.shape[0])
+            b = jnp.asarray(bb, dtype)
+            for name, pc in pcs.items():
+                _, _, it = fgmres(Ad, b, M=pc, tol=1e-8)
+                iters[name].append(int(it))
+        row = {"n_res": nres, "n_p": A_eval.shape[0]}
+        for name in pcs:
+            row[f"fgmres_{name}_mean"] = float(np.mean(iters[name]))
+            row[f"fgmres_{name}_std"] = float(np.std(iters[name]))
+        row["win_pct"] = round(
+            100.0 * (1.0 - row["fgmres_learned_mean"] /
+                     max(row["fgmres_classical_mean"], 1e-9)), 1,
+        )
+        pressure.append(row)
+        print(f"pressure solve n={nres}: {row}", flush=True)
+
+    # ---- deployment comparison 2: the full Stokes Schur round trip ----
+    s = lid_driven_cavity(n=args.eval_size, Re=10.0, dt=0.05)
+    A_eval = pinned_pressure_laplacian(s)
     pc_learned = LearnedAMGPreconditioner(
         A_eval, pc_opts, net=net, net_params=params, dtype=dtype
     )
@@ -151,6 +194,7 @@ def main(argv=None):
     it_l, r_l = run(pc_learned)
     it_c, r_c = run(pc_classical)
     result = {
+        "pressure_solves": pressure,
         "eval_size": args.eval_size,
         "n_p": s.n_p,
         "fgmres_iters_learned": it_l,

@@ -25,14 +25,16 @@ from mlamg_tpu.cli.common import force_platform
 def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
     """[(A CSR, node_feats (n,6), conv label)] labeled splittings.
 
-    Half the splittings per grid come from Lloyd aggregation (good), half
-    from random-center Bellman-Ford (bad) — the label spread between the
-    two regimes is what makes the regression identifiable (a Lloyd-only
-    dataset has so little conv variance that the optimum is the constant
-    mean).  Node features describe the splitting the way the reference's
-    MeshDataset does (C/F indicator) plus aggregate geometry the conv
-    factor actually depends on: distance-to-center, aggregate size, local
-    diagonal/degree scale.
+    Three quality regimes per grid — Lloyd aggregation (good), random-seed
+    Bellman-Ford (mediocre), and Lloyd *corrupted* by reassigning a random
+    fraction p in (0, 0.6] of nodes to a neighbour's aggregate (bad, with
+    conv degrading continuously in p) — so the labels span a real range;
+    a Lloyd-only dataset has so little conv variance that the regression
+    optimum is the constant mean (the round-3 failure mode).  Node
+    features describe the splitting the way the reference's MeshDataset
+    does (C/F indicator) plus aggregate geometry the conv factor actually
+    depends on: distance-to-center, aggregate size, local diagonal/degree
+    scale.
     """
     from mlamg_tpu.train import GridBundle, SolveOptions, measured_conv
     from mlamg_tpu.graph.lloyd import lloyd_aggregation
@@ -43,9 +45,11 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
     opts = SolveOptions()
     samples = []
     key = jax.random.PRNGKey(seed)
+    rng = np.random.RandomState(seed + 1)
     for g in grids:
         b = GridBundle.from_grid(g, alpha)
         n = b.A.shape[0]
+        A_sp = g.A.tocsr()
         C = strength_measure(b.A, "abs", width=b.width)
         deg = np.diff(np.asarray(b.A.indptr)).astype(np.float32)
         diag = np.asarray(b.A.diagonal(), np.float32)
@@ -53,13 +57,27 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
         deg_f = deg / max(deg.mean(), 1e-30)
         for j in range(per_grid):
             key, sub = jax.random.split(key)
-            if j % 2 == 0:
+            if j % 3 == 0:
                 agg_id, roots, _ = lloyd_aggregation(C, ratio=alpha, key=sub)
                 dist, _ = bellman_ford(C, roots)
-            else:
+            elif j % 3 == 1:
                 roots = jax.random.permutation(sub, n)[: b.k].astype(jnp.int32)
                 dist, nearest = bellman_ford(C, roots)
                 agg_id = nearest_center_to_agg(roots, nearest)
+            else:
+                agg_id, roots, _ = lloyd_aggregation(C, ratio=alpha, key=sub)
+                dist, _ = bellman_ford(C, roots)
+                # corrupt: each selected node adopts a random neighbour's
+                # aggregate — conv degrades continuously with p
+                p = rng.uniform(0.05, 0.6)
+                agg = np.asarray(agg_id).copy()
+                hit = rng.rand(n) < p
+                for i in np.nonzero(hit)[0]:
+                    nbrs = A_sp.indices[A_sp.indptr[i]:A_sp.indptr[i + 1]]
+                    nbrs = nbrs[nbrs != i]
+                    if nbrs.size:
+                        agg[i] = agg[rng.choice(nbrs)]
+                agg_id = jnp.asarray(agg)
             P = sa_interpolation_dense(b.A, agg_id, b.k)
             conv = float(measured_conv(b.A, P, b.x0, opts))
             is_center = np.zeros(n, np.float32)

@@ -102,6 +102,51 @@ def ici_projection(cycle_ms_1shard: float, nx: int, k: int,
     )
 
 
+def production_ici_projection(cycle_ms_1chip: float = 5.275, nx: int = 4096,
+                              levels: int = 3, k_coarse: int = 65536,
+                              nu: int = 1, ici_gbps: float = 45.0,
+                              hop_latency_us: float = 1.0):
+    """Weak-scaling projection for the PRODUCTION structured V-cycle
+    (bench.py vcycle_16m: n = nx^2 per chip, measured ms on the real chip).
+
+    Row-partitioned slabs: per level each pre/post smooth, residual and
+    factored interp/restrict exchanges one halo row of the level's width
+    with each ring neighbour (2*(2*nu+3) slices of nx_l * 4 bytes), and the
+    replicated coarsest solve costs one ring all-gather of the (k_coarse,)
+    residual.  No compute/comm overlap assumed (conservative).
+    """
+    halo_bytes = 0
+    msgs = 0
+    w = nx
+    for _ in range(levels):
+        halo_bytes += 2 * (2 * nu + 3) * w * 4
+        msgs += 2 * (2 * nu + 3)
+        w //= 16  # level-0 box side of the probed hierarchy
+    rows = []
+    for S in (2, 4, 8, 16):
+        gather_bytes = (S - 1) / S * k_coarse * 4
+        t_comm_ms = (
+            (halo_bytes + gather_bytes) / (ici_gbps * 1e9) * 1e3
+            + (msgs + 2) * hop_latency_us * 1e-3
+        )
+        rows.append(dict(
+            shards=S, comm_ms=round(t_comm_ms, 6),
+            projected_efficiency=round(
+                cycle_ms_1chip / (cycle_ms_1chip + t_comm_ms), 4
+            ),
+        ))
+    return dict(
+        model=("no-overlap ring on the measured 16.8M-dof/chip structured "
+               "V-cycle (bench.py vcycle_16m): t(S) = t(1) + halo + "
+               "coarse all-gather"),
+        assumptions=dict(cycle_ms_1chip=cycle_ms_1chip, nx_per_chip=nx,
+                         levels=levels, k_coarse=k_coarse,
+                         ici_gbps=ici_gbps, hop_latency_us=hop_latency_us,
+                         halo_bytes_per_cycle=halo_bytes),
+        rows=rows,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -205,6 +250,7 @@ def main(argv=None):
         ici_projection=ici_projection(
             rows[0]["cycle_ms_per_iter"], nx, rows[0]["k"]
         ),
+        ici_projection_production=production_ici_projection(),
     )
     print(json.dumps(out))
     if args.out:

@@ -109,13 +109,26 @@ def bellman_ford_pull(C, centers: jax.Array, *, width: int, max_iter: int | None
     segment ops; the one-time ELL repack is a single scatter per call.
 
     ``width`` is the static max row degree (= max col degree by pattern
-    symmetry).  Rows with more than ``width`` live entries are rejected
-    at trace time where shapes allow; callers compute width host-side
-    from the pattern.
+    symmetry); callers compute it host-side from the pattern
+    (cli/common.py dataset_bf_width, which also validates symmetry).
+    When this function is called with *concrete* (non-traced) inputs the
+    degree bound is re-checked here and a too-small width raises — under
+    jit the host-side setup validation is the guard.
     """
     n = C.shape[0]
     if max_iter is None:
         max_iter = n
+    if not isinstance(C.row, jax.core.Tracer):
+        import numpy as _np
+
+        rows = _np.asarray(C.row)
+        deg = _np.bincount(rows[rows < n], minlength=1)
+        if deg.max(initial=0) > width:
+            raise ValueError(
+                f"bellman_ford_pull: width={width} is smaller than the max "
+                f"row degree {int(deg.max())} — edges would be silently "
+                "dropped; recompute width with dataset_bf_width"
+            )
     order = _transpose_data_order(C)
     data_t = C.data[order]
 

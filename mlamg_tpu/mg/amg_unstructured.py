@@ -1,0 +1,413 @@
+"""Large-scale unstructured multilevel SA-AMG: pattern-masked Galerkin RAP
+and a factored-prolongator V-cycle.
+
+The reference builds multilevel hierarchies on unstructured random-hull FEM
+operators with scipy SpGEMM RAP (ns/lib/multigrid.py:165 on grids from
+ns/model/data.py:416-433).  The general static-shape SpGEMM
+(`ops.matmul.rap_fused`) pays an nnz * p_width^2 expand plus a device sort
+per product — unusable past ~100k dofs.  This module exploits what the
+sort-based SpGEMM ignores: for smoothed aggregation the coarse *pattern* is
+known ahead of the numerics —
+
+    P = S T,  S = I - omega D^-1 A  (A's pattern),  T = aggregation
+    pattern(P)   = A's pattern with columns mapped through agg
+    pattern(AP)  = pattern(A) @ pattern(P)            (host boolean spgemm, ms)
+    pattern(A_H) = pattern(P)^T @ pattern(AP)
+
+so the numeric triple product runs as two *pattern-masked* SpGEMMs
+(`ops.matmul.spgemm_masked`): a dense-shaped gather/contract per known
+output entry, no sorting, chunked to bound memory.  Setup is host-driven
+(like `mg.cycle.build_hierarchy`); all numeric products run on device.
+
+The V-cycle never materializes P: interpolation/restriction apply the
+factors directly (cf. mg/factored.py for the structured path),
+
+    P e   = u - omega * Dinv * (A @ u),   u = e[agg]          (one SpMV)
+    P^T r = segment_sum(r - omega * A @ (Dinv * r), agg)      (one SpMV)
+
+(valid for symmetric A, asserted at setup), so every level's work is
+SpMV-class streaming through the level's WindowedELL (TPU) or CSR (CPU)
+operator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlamg_tpu.ops.sparse import CSR
+from mlamg_tpu.ops import matmul
+from mlamg_tpu.mg.coarse import CoarseSolver
+
+
+# ---------------------------------------------------------------------------
+# Pattern computation (host, scipy booleans — milliseconds even at 600k)
+# ---------------------------------------------------------------------------
+
+
+def galerkin_patterns(A_sp, agg: np.ndarray, k: int):
+    """(P_pat, AP_pat, AH_pat) scipy boolean patterns for P = S T.
+
+    ``A_sp``: scipy CSR (pattern source), ``agg``: (n,) aggregate ids.
+    """
+    import scipy.sparse as sp
+
+    A_sp = sp.csr_matrix(A_sp)
+    n = A_sp.shape[0]
+    Bpat = sp.csr_matrix(
+        (np.ones(A_sp.nnz, np.float64), A_sp.indices, A_sp.indptr), shape=(n, n)
+    )
+    coo = A_sp.tocoo()
+    Ppat = sp.csr_matrix(
+        (np.ones(A_sp.nnz, np.float64), (coo.row, agg[coo.col])), shape=(n, k)
+    )
+    Ppat.sum_duplicates()
+    Ppat.data[:] = 1.0
+    APpat = (Bpat @ Ppat).tocsr()
+    APpat.data[:] = 1.0
+    AHpat = (Ppat.T.tocsr() @ APpat).tocsr()
+    AHpat.data[:] = 1.0
+    AHpat.sort_indices()
+    APpat.sort_indices()
+    return Ppat, APpat, AHpat
+
+
+def _auto_chunk(wa: int, wb: int, budget: int = 1 << 22) -> int:
+    """Chunk size keeping the (chunk, wa, wb) expansion near ``budget`` elems
+    (~16 MB f32 per buffer)."""
+    return max(256, budget // max(wa * wb, 1))
+
+
+def rap_masked(
+    A_dev: CSR,
+    P_dev: CSR,
+    AP_pat: CSR,
+    AH_pat: CSR,
+    *,
+    a_width: int,
+    p_width: int,
+    pt_width: int,
+    ap_width: int,
+) -> CSR:
+    """Numeric A_H = P^T A P over host-computed patterns (device, no sort).
+
+    ``*_width`` are host-known static row widths: A rows (``a_width``),
+    P rows (``p_width``, = a_width when P keeps A's pattern), P columns
+    (``pt_width``, duplicates counted), AP rows (``ap_width``).
+    """
+    AP = matmul.spgemm_masked(
+        A_dev, P_dev, AP_pat,
+        a_width=a_width, b_width=p_width,
+        chunk=_auto_chunk(a_width, p_width),
+    )
+    Pt = matmul.transpose(P_dev)
+    AH = matmul.spgemm_masked(
+        Pt, AP, AH_pat,
+        a_width=pt_width, b_width=ap_width,
+        chunk=_auto_chunk(pt_width, ap_width),
+    )
+    return AH
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy containers
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "Dinv", "agg", "omega", "lmax"],
+    meta_fields=["k"],
+)
+@dataclasses.dataclass(frozen=True)
+class ULevel:
+    """One level: operator + factored-P ingredients (see module docstring)."""
+
+    A: Any  # WindowedELL (TPU) or CSR — anything matmul.spmv accepts
+    Dinv: jax.Array  # (n,)
+    agg: jax.Array  # (n,) int32 aggregate ids in [0, k)
+    omega: jax.Array  # SA smoothing weight (scalar)
+    lmax: jax.Array  # spectral bound of D^-1 A (Chebyshev smoothing)
+    k: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "coarse"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class UHierarchy:
+    levels: Tuple[ULevel, ...]
+    coarse: CoarseSolver
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels) + 1
+
+
+def interp_factored(lev: ULevel, e_H: jax.Array) -> jax.Array:
+    """P e_H = (I - omega D^-1 A) (e_H injected through the aggregation)."""
+    u = e_H[lev.agg]
+    return u - lev.omega * lev.Dinv * matmul.spmv(lev.A, u)
+
+
+def restrict_factored(lev: ULevel, r: jax.Array) -> jax.Array:
+    """P^T r for symmetric A: segment-sum of (I - omega A D^-1) r."""
+    sr = r - lev.omega * matmul.spmv(lev.A, lev.Dinv * r)
+    return jax.ops.segment_sum(sr, lev.agg, num_segments=lev.k)
+
+
+def uvcycle(
+    h: UHierarchy,
+    b: jax.Array,
+    x: jax.Array,
+    *,
+    omega_jac: float = 0.666,
+    nu: int = 1,
+    smoother: str = "chebyshev",
+    lmin_frac: float = 1.0 / 30.0,
+    gamma: int = 1,
+) -> jax.Array:
+    """One multigrid cycle (static recursion depth); all levels SpMV-class
+    work.
+
+    ``smoother="chebyshev"`` (default) runs a degree-``nu+1`` Chebyshev
+    polynomial per pre/post smooth — the strongest SpMV-only smoother on
+    TPU (a sequential-GS analogue in smoothing power without the coloring
+    passes); ``"jacobi"`` gives ``nu`` weighted-Jacobi sweeps.
+
+    ``gamma=1`` is a V-cycle; ``gamma=2`` a W-cycle.  With the aggressive
+    ~10x coarsening of this hierarchy a W-cycle costs only ~1.2x a V-cycle
+    (coarse levels are an order of magnitude cheaper each) while holding
+    the convergence factor n-independent — the V-cycle with inexact coarse
+    correction degrades with depth (the standard aggressive-aggregation
+    phenomenon; cf. Notay's AGMG K-cycle).
+    """
+    from mlamg_tpu.mg.smoothers import chebyshev
+
+    def smooth(lev, b, x):
+        if smoother == "chebyshev":
+            return chebyshev(
+                lev.A, b, x, 1.1 * lev.lmax, lmin_frac=lmin_frac,
+                degree=nu + 1, Dinv=lev.Dinv,
+            )
+
+        def body(_, x):
+            r = matmul.spmv_affine(lev.A, x, c=b, alpha=-1.0)
+            return x + omega_jac * lev.Dinv * r
+
+        return jax.lax.fori_loop(0, nu, body, x)
+
+    def descend(l, b, x):
+        lev = h.levels[l]
+        x = smooth(lev, b, x)
+        r = matmul.spmv_affine(lev.A, x, c=b, alpha=-1.0)
+        r_H = restrict_factored(lev, r)
+        if l + 1 == len(h.levels):
+            e_H = h.coarse.solve(r_H)
+        else:
+            e_H = descend(l + 1, r_H, jnp.zeros_like(r_H))
+            for _ in range(gamma - 1):
+                e_H = descend(l + 1, r_H, e_H)
+        x = x + interp_factored(lev, e_H)
+        return smooth(lev, b, x)
+
+    return descend(0, b, x)
+
+
+def uvcycle_solve(
+    h: UHierarchy,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    res_tol: float = 1e-10,
+    max_iter: int = 100,
+    omega_jac: float = 0.666,
+    nu: int = 1,
+    smoother: str = "chebyshev",
+    lmin_frac: float = 1.0 / 30.0,
+    gamma: int = 1,
+):
+    """Iterated cycles with the standard conv-factor readout
+    (mg/cycle.py semantics).  Returns (x, conv, err, iters)."""
+    from mlamg_tpu.mg.cycle import _conv_factor
+
+    A = h.levels[0].A
+    err0 = jnp.zeros((max_iter,), x0.dtype)
+
+    def cond(state):
+        _, _, i, done = state
+        return (~done) & (i < max_iter)
+
+    def body(state):
+        x, err, i, _ = state
+        x = uvcycle(h, b, x, omega_jac=omega_jac, nu=nu, smoother=smoother,
+                    lmin_frac=lmin_frac, gamma=gamma)
+        e = jnp.linalg.norm(matmul.spmv_affine(A, x, c=b, alpha=-1.0))
+        err = err.at[i].set(e)
+        return x, err, i + 1, e <= res_tol
+
+    x, err, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, err0, jnp.int32(0), jnp.bool_(False))
+    )
+    return x, _conv_factor(err, iters), err, iters
+
+
+# ---------------------------------------------------------------------------
+# Setup (host-driven; numeric products on device)
+# ---------------------------------------------------------------------------
+
+
+def build_unstructured_hierarchy(
+    A_sp,
+    *,
+    alpha: float = 0.1,
+    max_levels: int = 4,
+    min_coarse: int = 800,
+    strength_kind: str = "abs",
+    lloyd_maxiter: int = 3,
+    seed_mode: str = "stride",
+    seed: int = 0,
+    coarse_method: str = "inverse",
+    fmt: str | None = None,
+    block_rows: int = 8,
+    verbose: bool = False,
+):
+    """SA multilevel setup for a (symmetric) scipy operator at scale.
+
+    Per level: strength -> device Lloyd aggregation -> SA omega by power
+    iteration -> host boolean patterns -> device pattern-masked RAP.  Level
+    operators are stored RCM-ordered as WindowedELL on TPU (``fmt='well'``)
+    or CSR elsewhere; prolongators stay factored.
+
+    Returns (hierarchy, perm) where ``perm`` is the fine-level RCM
+    permutation: solve in permuted space, i.e. x = unpermute(solution of
+    (PAP^T) y = b[perm]).
+    """
+    import scipy.sparse as sp
+    from mlamg_tpu.graph.lloyd import lloyd_aggregation
+    from mlamg_tpu.graph.strength import strength_measure
+    from mlamg_tpu.mg.interp import smoothed_aggregation
+    from mlamg_tpu import native
+
+    if fmt is None:
+        fmt = "well" if jax.default_backend() == "tpu" else "csr"
+
+    A_sp = sp.csr_matrix(A_sp).astype(np.float32)
+    if (abs(A_sp - A_sp.T) > 1e-6 * abs(A_sp).max()).nnz:
+        raise ValueError(
+            "build_unstructured_hierarchy requires a symmetric operator "
+            "(the factored restriction applies A in place of A^T)"
+        )
+
+    key = jax.random.PRNGKey(seed)
+    levels = []
+    perm0 = None
+    level_A = A_sp
+    for lvl in range(max_levels - 1):
+        n = level_A.shape[0]
+        # RCM-order this level (fine level: enables the windowed kernel;
+        # coarse levels: keeps aggregate numbering banded for the next one)
+        perm = np.asarray(native.rcm_ordering(level_A))
+        level_A = level_A[perm][:, perm].tocsr()
+        level_A.sort_indices()
+        if lvl == 0:
+            perm0 = perm
+        else:
+            # parent's aggregate ids must follow the relabeling
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            prev = levels[-1]
+            levels[-1] = dataclasses.replace(
+                prev, agg=jnp.asarray(inv[np.asarray(prev.agg)], jnp.int32)
+            )
+
+        a_width = int(np.diff(level_A.indptr).max())
+        A_dev = CSR.from_scipy(level_A, dtype=jnp.float32)
+        d = np.asarray(level_A.diagonal())
+        Dinv = jnp.asarray(1.0 / np.where(d != 0, d, 1.0), jnp.float32)
+
+        if n <= min_coarse:
+            break
+        k = int(np.ceil(alpha * n))
+        C = strength_measure(A_dev, strength_kind, width=a_width)
+        key, sub = jax.random.split(key)
+        if seed_mode == "stride":
+            # the level is RCM-ordered, so an index stride is a spatially
+            # stratified seeding — measurably better-shaped aggregates (and
+            # cycles) than the reference's random permutation seeds
+            seeds = np.unique(np.linspace(0, n - 1, k).round().astype(np.int32))
+            k = int(seeds.shape[0])
+            agg_id, _, _ = lloyd_aggregation(
+                C, maxiter=lloyd_maxiter, seeds=seeds
+            )
+        else:
+            agg_id, _, _ = lloyd_aggregation(
+                C, ratio=alpha, maxiter=lloyd_maxiter, key=sub
+            )
+        agg = np.asarray(agg_id)
+        if (agg >= k).any():
+            raise RuntimeError(
+                "Lloyd left unassigned nodes (disconnected operator?)"
+            )
+        # drop empty aggregates (would give zero coarse rows -> singular)
+        used = np.unique(agg)
+        if used.shape[0] < k:
+            remap = np.zeros(k, np.int64)
+            remap[used] = np.arange(used.shape[0])
+            agg = remap[agg]
+            k = int(used.shape[0])
+
+        from mlamg_tpu.graph.strength import power_iteration_lmax
+
+        lmax = jnp.abs(power_iteration_lmax(A_dev, Dinv))
+        omega = (4.0 / 3.0) / jnp.where(lmax > 0, lmax, 1.0)
+        P_dev = smoothed_aggregation(
+            A_dev, jnp.asarray(agg, jnp.int32), k, omega=omega
+        )
+
+        Ppat, APpat, AHpat = galerkin_patterns(level_A, agg, k)
+        pt_width = int(np.bincount(agg[level_A.tocoo().col], minlength=k).max())
+        ap_width = int(np.diff(APpat.indptr).max())
+        AH = rap_masked(
+            A_dev, P_dev,
+            CSR.from_scipy(APpat, dtype=jnp.float32),
+            CSR.from_scipy(AHpat, dtype=jnp.float32),
+            a_width=a_width, p_width=a_width,
+            pt_width=pt_width, ap_width=ap_width,
+        )
+        AH_sp = AH.to_scipy().tocsr()
+        AH_sp.sum_duplicates()
+        AH_sp.eliminate_zeros()
+
+        op = _level_operator(level_A, fmt, block_rows)
+        levels.append(
+            ULevel(op, Dinv, jnp.asarray(agg, jnp.int32), omega, lmax, k)
+        )
+        if verbose:
+            print(
+                f"level {lvl}: n={n} nnz={level_A.nnz} -> k={k} "
+                f"nnz(A_H)={AH_sp.nnz} (widths a={a_width} pt={pt_width} "
+                f"ap={ap_width})",
+                flush=True,
+            )
+        level_A = AH_sp
+
+    coarse = CoarseSolver.factor(
+        jnp.asarray(level_A.toarray(), jnp.float32), method=coarse_method
+    )
+    return UHierarchy(tuple(levels), coarse), perm0
+
+
+def _level_operator(A_sp, fmt: str, block_rows: int):
+    if fmt == "well":
+        from mlamg_tpu.ops.unstructured import WindowedELL
+
+        return WindowedELL.from_scipy(A_sp, block_rows=block_rows)
+    return CSR.from_scipy(A_sp, dtype=jnp.float32)

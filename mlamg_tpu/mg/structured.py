@@ -57,6 +57,16 @@ def dia_galerkin_probe(A: DIA, P: FactoredSA) -> DIA:
     rx = max((abs(dx) for _, dx in disp), default=0)
     Ry = -(-3 * ry // sy)  # ceil: S^T A S reach, then box-coarsened
     Rx = -(-3 * rx // sx)
+    # Linearized offsets Dy*ncx + Dx are only unique (and probe colors only
+    # non-aliasing) when the coarse grid exceeds the stencil reach per axis;
+    # a narrower grid would double-count duplicate diagonals in later spmv.
+    if ncx <= 2 * Rx or ncy <= 2 * Ry:
+        raise ValueError(
+            f"dia_galerkin_probe: coarse grid ({ncy}, {ncx}) is too narrow "
+            f"for the coarse stencil reach ({Ry}, {Rx}) — offsets would "
+            "alias; stop coarsening earlier (larger min_coarse) or use a "
+            "smaller box side"
+        )
     cy_stride, cx_stride = 2 * Ry + 1, 2 * Rx + 1
 
     iy = jnp.arange(ncy)[:, None]
@@ -131,7 +141,10 @@ def build_structured_hierarchy(
         if cy % sy or cx % sx or (cy // sy) * (cx // sx) <= min_coarse:
             break
         P = factored_sa(level_A, BoxAgg2D(ny=cy, nx=cx, sy=sy, sx=sx), omega=omega)
-        A_next = dia_galerkin_probe(level_A, P)
+        try:
+            A_next = dia_galerkin_probe(level_A, P)
+        except ValueError:
+            break  # coarse grid too narrow for the stencil reach — stop here
         d = level_A.diagonal()
         Dinvs.append(1.0 / jnp.where(d != 0, d, 1.0))
         cy, cx = cy // sy, cx // sx

@@ -76,10 +76,20 @@ class ResidualTAGStack(nn.Module):
 
 
 class CFInterpolationNetwork(nn.Module):
-    """P from a C/F splitting (reference ali_interp.py:228-285)."""
+    """P from a C/F splitting (reference ali_interp.py:228-285).
+
+    ``row_normalize`` (default, a departure from the reference) rescales
+    every F row of P to unit sum so the interpolation reproduces constants
+    — the near-nullspace the smoother cannot reduce.  Without it the edge
+    head's abs-standardized output (reference ali_interp.py:174-175) fixes
+    the score *distribution*, so the optimizer cannot control interpolation
+    magnitudes at all and amg_loss plateaus (observed: flat 0.91-0.94
+    train loss); with it the network only has to learn relative weights.
+    """
 
     dims: Sequence[int] = (16, 16, 32, 32, 64, 64)
     K: int = 5
+    row_normalize: bool = True
 
     def setup(self):
         self.model = ResidualTAGStack(dims=self.dims, K=self.K)
@@ -100,6 +110,20 @@ class CFInterpolationNetwork(nn.Module):
         rows = jnp.where(keep, A.row, n)
         cols = jnp.where(keep, c_rank[A.col], 0).astype(jnp.int32)
         vals = jnp.where(keep, w, 0.0)
+
+        if self.row_normalize:
+            rs = jax.ops.segment_sum(vals, rows, num_segments=n + 1)[:n]
+            cnt = jax.ops.segment_sum(
+                keep.astype(vals.dtype), rows, num_segments=n + 1
+            )[:n]
+            # rows whose scores summed to ~0 fall back to uniform weights
+            # over their C neighbours (never a zero interpolation row)
+            normed = jnp.where(
+                rs[rsafe] > 1e-12,
+                vals / jnp.where(rs[rsafe] > 1e-12, rs[rsafe], 1.0),
+                1.0 / jnp.maximum(cnt[rsafe], 1.0),
+            )
+            vals = jnp.where(keep, normed, 0.0)
 
         # unit diagonal on coarse points: append one entry per node (masked)
         node_rows = jnp.where(is_coarse, jnp.arange(n, dtype=jnp.int32), n)

@@ -75,12 +75,25 @@ def _node_init(n: int, n_real, dtype):
 def build_in_ell(row: jax.Array, col: jax.Array, n: int, width: int) -> jax.Array:
     """(n, width) edge-list positions of each node's incoming edges.
 
-    ``width`` is the static max in-degree of the pattern (nodes with more
-    incoming edges than ``width`` would silently drop messages — callers
-    derive it host-side from the problem family).  Jittable: one lexsort,
-    one searchsorted, one scatter — paid once per graph and amortized
-    over every conv's aggregation."""
+    ``width`` is the static max in-degree of the pattern — callers derive
+    it host-side from the problem family (cli/common.py dataset_bf_width).
+    With *concrete* (non-traced) inputs an in-degree exceeding ``width``
+    raises here; under jit the host-side setup validation is the guard
+    (messages past ``width`` would otherwise be silently dropped).
+    Jittable: one lexsort, one searchsorted, one scatter — paid once per
+    graph and amortized over every conv's aggregation."""
     E_pad = row.shape[0]
+    if not isinstance(col, jax.core.Tracer) and not isinstance(row, jax.core.Tracer):
+        import numpy as _np
+
+        live_np = _np.asarray(row) < n
+        indeg = _np.bincount(_np.asarray(col)[live_np], minlength=1)
+        if indeg.max(initial=0) > width:
+            raise ValueError(
+                f"build_in_ell: width={width} is smaller than the max "
+                f"in-degree {int(indeg.max())} — messages would be silently "
+                "dropped; recompute width with dataset_bf_width"
+            )
     live = row < n
     ck = jnp.where(live, col, n)
     rk = jnp.where(live, row, n)

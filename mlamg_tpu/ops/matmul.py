@@ -285,28 +285,52 @@ def spgemm(
                     return_overflow=return_overflow)
 
 
-def spgemm_masked(A: CSR, B: CSR, pattern: CSR, *, a_width: int, b_width: int) -> CSR:
+def spgemm_masked(
+    A: CSR, B: CSR, pattern: CSR, *, a_width: int, b_width: int,
+    chunk: int | None = None,
+) -> CSR:
     """(A @ B) restricted to the sparsity pattern of ``pattern``.
 
     For every pattern entry (i, j): sum_k A[i,k] * B[k,j], computed by
     comparing A's fixed-width row i against B's fixed-width rows — an
     O(nnz * a_width * b_width) dense-shaped contraction with no sorting.
     This is the static-shape workhorse behind pattern-preserving matrix
-    powers (evolution strength of connection, filtered smoothers).
+    powers (evolution strength of connection, filtered smoothers) and the
+    pattern-masked Galerkin RAP of the large-scale unstructured multilevel
+    setup (mg/amg_unstructured.py), where the coarse pattern is known
+    host-side ahead of the numeric product.
+
+    ``chunk`` bounds the (chunk, a_width, b_width) expansion buffer by
+    processing pattern entries in fixed-size slices under ``lax.map`` —
+    required at scale (e.g. 4M pattern entries x 80 x 16 would otherwise
+    materialize >20 GB).
     """
     m, p = A.shape
     A_ell = A.to_ell(a_width) if not isinstance(A, ELL) else A
     B_ell = B.to_ell(b_width) if not isinstance(B, ELL) else B
 
-    i = jnp.minimum(pattern.row, m - 1)  # (E,)
-    j = pattern.col  # (E,)
-    a_cols = A_ell.col[i]  # (E, wa) — the k's
-    a_vals = A_ell.data[i]  # (E, wa)
-    b_cols = B_ell.col[a_cols]  # (E, wa, wb)
-    b_vals = B_ell.data[a_cols]  # (E, wa, wb)
-    match = b_cols == j[:, None, None]
-    contrib = a_vals[:, :, None] * jnp.where(match, b_vals, 0.0)
-    vals = jnp.sum(contrib, axis=(1, 2))
+    def compute(i, j):
+        i = jnp.minimum(i, m - 1)  # (E,)
+        a_cols = A_ell.col[i]  # (E, wa) — the k's
+        a_vals = A_ell.data[i]  # (E, wa)
+        b_cols = B_ell.col[a_cols]  # (E, wa, wb)
+        b_vals = B_ell.data[a_cols]  # (E, wa, wb)
+        match = b_cols == j[:, None, None]
+        contrib = a_vals[:, :, None] * jnp.where(match, b_vals, 0.0)
+        return jnp.sum(contrib, axis=(1, 2))
+
+    E = pattern.row.shape[0]
+    if chunk is None or chunk >= E:
+        vals = compute(pattern.row, pattern.col)
+    else:
+        nc = -(-E // chunk)
+        # pad with sentinel rows (masked out below); reshape to (nc, chunk)
+        ip = jnp.full((nc * chunk,), m, pattern.row.dtype).at[:E].set(pattern.row)
+        jp = jnp.zeros((nc * chunk,), pattern.col.dtype).at[:E].set(pattern.col)
+        vals = jax.lax.map(
+            lambda args: compute(*args),
+            (ip.reshape(nc, chunk), jp.reshape(nc, chunk)),
+        ).reshape(-1)[:E]
     vals = jnp.where(pattern.mask, vals, 0.0)
     return pattern.with_data(vals)
 

@@ -1,0 +1,128 @@
+"""Unstructured multilevel SA-AMG: pattern-masked RAP + factored V-cycle
+(mg/amg_unstructured.py) — oracle-tested against scipy triple products and
+checked for multilevel convergence on the reference's random-hull FEM
+family (ns/model/data.py:416-433, ns/lib/multigrid.py:111-210)."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mlamg_tpu.data import Grid
+from mlamg_tpu.ops.sparse import CSR
+from mlamg_tpu.ops import matmul
+
+
+@pytest.fixture(scope="module")
+def hull_grid():
+    g = Grid.random_2d_unstructured(1500, seed=3)
+    return sp.csr_matrix(g.A).astype(np.float32)
+
+
+class TestMaskedRAP:
+    def test_masked_rap_matches_scipy(self, hull_grid):
+        from mlamg_tpu.graph.lloyd import lloyd_aggregation
+        from mlamg_tpu.graph.strength import strength_measure
+        from mlamg_tpu.mg.interp import sa_omega, smoothed_aggregation
+        from mlamg_tpu.mg.amg_unstructured import galerkin_patterns, rap_masked
+
+        A = hull_grid
+        Ad = CSR.from_scipy(A, dtype=jnp.float64)
+        w = int(np.diff(A.indptr).max())
+        C = strength_measure(Ad, "abs", width=w)
+        agg_id, _, _ = lloyd_aggregation(
+            C, ratio=0.1, maxiter=3, key=jax.random.PRNGKey(0)
+        )
+        agg = np.asarray(agg_id)
+        k = int(agg.max()) + 1
+        d = np.asarray(A.diagonal())
+        Dinv = jnp.asarray(1.0 / np.where(d != 0, d, 1.0), jnp.float64)
+        om = sa_omega(Ad, Dinv)
+        P = smoothed_aggregation(Ad, jnp.asarray(agg, jnp.int32), k, omega=om)
+
+        Ppat, APpat, AHpat = galerkin_patterns(A, agg, k)
+        pt_w = int(np.bincount(agg[A.tocoo().col], minlength=k).max())
+        ap_w = int(np.diff(APpat.indptr).max())
+        AH = rap_masked(
+            Ad, P,
+            CSR.from_scipy(APpat, dtype=jnp.float64),
+            CSR.from_scipy(AHpat, dtype=jnp.float64),
+            a_width=w, p_width=w, pt_width=pt_w, ap_width=ap_w,
+        )
+        Psp = P.to_scipy().tocsr()
+        Psp.sum_duplicates()
+        ref = (Psp.T @ A.astype(np.float64) @ Psp).tocsr()
+        diff = abs(AH.to_scipy().tocsr() - ref)
+        assert diff.max() < 1e-10 * abs(ref).max()
+
+    def test_chunked_masked_spgemm_matches_unchunked(self, rng=None):
+        r = np.random.RandomState(5)
+        A = sp.random(80, 80, density=0.1, format="csr", random_state=r)
+        A = (A + A.T).tocsr()
+        B = sp.random(80, 80, density=0.1, format="csr", random_state=r)
+        pat = sp.csr_matrix((A @ B).astype(bool).astype(np.float64))
+        Ad = CSR.from_scipy(A, dtype=jnp.float64)
+        Bd = CSR.from_scipy(B, dtype=jnp.float64)
+        Pd = CSR.from_scipy(pat, dtype=jnp.float64)
+        wa = int(np.diff(A.indptr).max())
+        wb = int(np.diff(B.indptr).max())
+        full = matmul.spgemm_masked(Ad, Bd, Pd, a_width=wa, b_width=wb)
+        chunked = matmul.spgemm_masked(
+            Ad, Bd, Pd, a_width=wa, b_width=wb, chunk=37
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked.data), np.asarray(full.data), atol=1e-12
+        )
+
+
+class TestUnstructuredHierarchy:
+    def test_vcycle_converges(self, hull_grid):
+        from mlamg_tpu.mg.amg_unstructured import (
+            build_unstructured_hierarchy, uvcycle_solve,
+        )
+
+        h, perm = build_unstructured_hierarchy(
+            hull_grid, alpha=0.1, max_levels=3, min_coarse=80,
+            lloyd_maxiter=10, fmt="csr",
+        )
+        n = hull_grid.shape[0]
+        x0 = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
+        b = jnp.zeros(n, jnp.float32)
+        x, conv, err, iters = jax.jit(
+            lambda h, b, x: uvcycle_solve(
+                h, b, x, res_tol=1e-7, max_iter=60, nu=3, lmin_frac=1 / 15
+            )
+        )(h, b, x0)
+        assert float(conv) < 0.55, float(conv)
+
+    def test_solves_permuted_system(self, hull_grid):
+        """x = unpermute(solve of permuted system) solves the original."""
+        from mlamg_tpu.mg.amg_unstructured import (
+            build_unstructured_hierarchy, uvcycle_solve,
+        )
+
+        A = hull_grid
+        n = A.shape[0]
+        h, perm = build_unstructured_hierarchy(
+            A, alpha=0.1, max_levels=3, min_coarse=80, fmt="csr",
+        )
+        rhs = np.random.RandomState(1).randn(n).astype(np.float32)
+        bp = jnp.asarray(rhs[perm])
+        x, conv, err, iters = jax.jit(
+            lambda h, b, x: uvcycle_solve(
+                h, b, x, res_tol=1e-5, max_iter=80, nu=3, lmin_frac=1 / 15
+            )
+        )(h, bp, jnp.zeros(n, jnp.float32))
+        sol = np.empty(n, np.float32)
+        sol[perm] = np.asarray(x)
+        res = np.linalg.norm(A @ sol - rhs) / np.linalg.norm(rhs)
+        assert res < 1e-4, res
+
+    def test_asymmetric_rejected(self):
+        A = sp.csr_matrix(np.array([[2.0, -1.0], [0.0, 2.0]], np.float32))
+        from mlamg_tpu.mg.amg_unstructured import build_unstructured_hierarchy
+
+        with pytest.raises(ValueError, match="symmetric"):
+            build_unstructured_hierarchy(A, fmt="csr")
