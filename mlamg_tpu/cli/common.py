@@ -163,6 +163,10 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--adaptive-sigma", type=parse_bool_str, default=False,
                         help="mutation scale follows the 1/5-success rule "
                              "(fixes the fixed-perturbation stall near optima)")
+    parser.add_argument("--mutate-subnets", type=str, default=None,
+                        help="comma-separated regexes of fold names; only "
+                             "matching subnets' weights mutate (e.g. "
+                             "'AggNet,CNet' to search aggregation only)")
     parser.add_argument("--mutation-sparsity", type=float, default=None,
                         help="per-weight mutation probability instead of "
                              "fold-wise masks")

@@ -40,10 +40,11 @@ def gen_one(kind: str, rng: np.random.RandomState, target_dof: int,
         theta = rng.uniform(0, 2 * np.pi)
         return Grid.structured_2d_poisson_dirichlet(side, side, eps, theta)
     if kind in ("3d", "3d_aniso"):
-        # reference recipe (utils/create_3d_laplace.py:81-94): per-axis mesh
-        # sizes N ~ U{8..14} (interior dofs N-1 each), iso: K = I; aniso:
+        # reference recipe (utils/create_3d_laplace.py:81-94): tetrahedral
+        # CG1 FEM on a unit-cube mesh with per-axis cell counts
+        # N ~ U{8..14} (interior dofs (N-1)^3), iso: K = I; aniso:
         # eps_x, eps_y ~ 10^U(-4, 4), eps_z = 1, R = R_y(theta_y) R_z(theta_z)
-        nx, ny, nz = (int(rng.randint(8, 15)) - 1 for _ in range(3))
+        nx, ny, nz = (int(rng.randint(8, 15)) for _ in range(3))
         if kind == "3d":
             eps, R = np.ones(3), np.eye(3)
         else:
@@ -64,7 +65,9 @@ def gen_one(kind: str, rng: np.random.RandomState, target_dof: int,
                 [-np.sin(ty), 0.0, np.cos(ty)],
             ])
             R = Ry @ Rz
-        return Grid.structured_3d_laplace_dirichlet(nx, ny, nz, epsilon=eps, R=R)
+        return Grid.tet_3d_laplace_dirichlet(
+            nx, ny, nz, epsilon=eps, R=R, seed=rng.randint(1 << 31)
+        )
     raise ValueError(f"unknown dataset type {kind}")
 
 

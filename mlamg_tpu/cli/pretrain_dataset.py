@@ -53,7 +53,15 @@ def build_targets(grids, alpha: float, strength_kind: str, omega: float = 2.0 / 
         is_center = np.zeros(n, np.float32)
         is_center[np.asarray(roots)] = 1.0
         cvals = np.asarray(C.data, np.float32)
-        cvals = cvals / max(cvals.max(), 1e-30)
+        # log-space target: anisotropic strength values span ~4 decades
+        # (olson = evolution + 1/|a|); a linear-space MSE is dominated by
+        # the large (far) distances and never fits the small (near) ones
+        # that decide every Bellman-Ford assignment.  CNet's head is
+        # exp()'d at eval time via matching the *normalized log*:
+        cpos = np.maximum(cvals, 1e-12)
+        logc = np.log(cpos)
+        cvals = ((logc - logc.min()) / max(logc.max() - logc.min(), 1e-12)
+                 ).astype(np.float32)
         # SA smoother values on A's pattern: delta_ij - w a_ij / d_i
         d = np.asarray(A.diagonal())
         row = np.asarray(Ac.row)

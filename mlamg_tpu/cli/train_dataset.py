@@ -131,6 +131,17 @@ def main(argv=None):
         mutation_sparsity=args.mutation_sparsity,
     )
     ga = ParallelGA(pop0, fitness, cfg, fold_ids=fold_ids)
+    if args.mutate_subnets:
+        import re
+
+        pats = [re.compile(p) for p in args.mutate_subnets.split(",")]
+        scope = np.zeros(vec.shape[0], bool)
+        for fi, name in enumerate(fold_names):
+            if any(p.search(name) for p in pats):
+                scope |= fold_ids == fi
+        cfg.mutation_scope = scope
+        print(f"mutation scope: {int(scope.sum())}/{len(scope)} weights "
+              f"({args.mutate_subnets})")
     ga.num_generation = args.start_generation
     if args.resume:
         ck = load_checkpoint(args.resume)

@@ -241,6 +241,100 @@ class Grid:
     # -- 3D finite differences ----------------------------------------------
 
     @staticmethod
+    def tet_3d_laplace_dirichlet(
+        nx: int, ny: int, nz: int,
+        epsilon: np.ndarray | None = None, R: np.ndarray | None = None,
+        jitter: float = 0.25, seed=None,
+    ) -> "Grid":
+        """3D anisotropic Laplace on a TETRAHEDRAL P1 FEM mesh of the unit
+        cube (each cell split into 6 tets, interior vertices jittered).
+
+        This mirrors the reference's 3D data, which is Firedrake CG1 on
+        UnitCubeMesh — i.e. *tetrahedral FEM*, not finite differences
+        (utils/create_3d_laplace.py:36-40).  The distinction matters for
+        the learned pipeline: a regular FD grid has an automorphic
+        interior (identical stencil at every node), so a GNN on matrix
+        features cannot distinguish interior nodes at all; the tet mesh's
+        varying vertex degrees and jittered element shapes are exactly the
+        symmetry-breaking structure the models key on.
+
+        (nx, ny, nz) count cells per axis; K = R diag(eps) R^T.
+        """
+        eps = np.ones(3) if epsilon is None else np.asarray(epsilon, float)
+        Rm = np.eye(3) if R is None else np.asarray(R, float)
+        K = Rm @ np.diag(eps) @ Rm.T
+        rng = np.random.RandomState(seed)
+
+        vx, vy, vz = nx + 1, ny + 1, nz + 1
+        xs = np.linspace(0, 1, vx)
+        ys = np.linspace(0, 1, vy)
+        zs = np.linspace(0, 1, vz)
+        X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+        verts = np.column_stack([X.ravel(), Y.ravel(), Z.ravel()])
+        vid = np.arange(verts.shape[0]).reshape(vx, vy, vz)
+        interior = (
+            (X > 0) & (X < 1) & (Y > 0) & (Y < 1) & (Z > 0) & (Z < 1)
+        ).ravel()
+        h = np.array([xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]])
+        verts[interior] += (rng.rand(int(interior.sum()), 3) - 0.5) * (
+            2.0 * jitter * h
+        )
+
+        # 6-tet Kuhn split of each cell (consistent, no hanging faces)
+        c000 = vid[:-1, :-1, :-1].ravel()
+        c100 = vid[1:, :-1, :-1].ravel()
+        c010 = vid[:-1, 1:, :-1].ravel()
+        c110 = vid[1:, 1:, :-1].ravel()
+        c001 = vid[:-1, :-1, 1:].ravel()
+        c101 = vid[1:, :-1, 1:].ravel()
+        c011 = vid[:-1, 1:, 1:].ravel()
+        c111 = vid[1:, 1:, 1:].ravel()
+        tets = np.concatenate([
+            np.stack(t, axis=1) for t in (
+                (c000, c100, c110, c111),
+                (c000, c100, c101, c111),
+                (c000, c010, c110, c111),
+                (c000, c010, c011, c111),
+                (c000, c001, c101, c111),
+                (c000, c001, c011, c111),
+            )
+        ])
+
+        # vectorized P1 tet stiffness with tensor K
+        p0 = verts[tets[:, 0]]
+        M = np.stack(
+            [verts[tets[:, j]] - p0 for j in (1, 2, 3)], axis=1
+        )  # (E, 3, 3) rows = edge vectors
+        det = np.linalg.det(M)
+        vol = np.abs(det) / 6.0
+        Minv = np.linalg.inv(M)  # (E, 3, 3)
+        g123 = np.transpose(Minv, (0, 2, 1))  # rows i: grad lambda_{i+1}
+        g0 = -g123.sum(axis=1, keepdims=True)
+        G = np.concatenate([g0, g123], axis=1)  # (E, 4, 3)
+        KG = G @ K.T  # (E, 4, 3)
+        local = np.einsum("eid,ejd->eij", G, KG) * vol[:, None, None]
+
+        E = tets.shape[0]
+        rows = np.repeat(tets, 4, axis=1).ravel()
+        cols = np.tile(tets, (1, 4)).ravel()
+        A = sp.coo_matrix(
+            (local.ravel(), (rows, cols)),
+            shape=(verts.shape[0],) * 2,
+        ).tocsr()
+        # Dirichlet: restrict to interior vertices
+        ii = np.nonzero(interior)[0]
+        A_d = A[ii][:, ii].tocsr()
+        A_d.sum_duplicates()
+        A_d.eliminate_zeros()
+        # normalize to unit mean |entry|: every AMG quantity (conv factor,
+        # P, strength ratios) is invariant to a scalar scaling of A, but
+        # the GNN edge features |a_ij| are not — un-normalized 3D FEM
+        # entries (~h*K ~ 0.1) sit outside the 2D families' O(1) feature
+        # regime and dead-ReLU the edge heads
+        A_d = A_d * (1.0 / max(np.abs(A_d.data).mean(), 1e-30))
+        return Grid(A_d, verts[ii], {"epsilon": eps, "R": Rm, "fem": "tet"})
+
+    @staticmethod
     def structured_3d_laplace_dirichlet(
         nx: int, ny: int, nz: int, epsilon: np.ndarray | None = None, R: np.ndarray | None = None
     ) -> "Grid":

@@ -54,6 +54,11 @@ class GAConfig:
     sigma_min_factor: float = 1e-3
     sigma_max_factor: float = 2.0
     mutation_sparsity: Optional[float] = None  # per-weight mutate prob
+    # boolean (W,) mask: only these weights ever mutate (None = all).  Lets
+    # a fine-tune search the aggregation subnets alone while freezing an
+    # already-good interpolation head (ablations show the two train at
+    # very different difficulty).
+    mutation_scope: Optional[object] = None
 
 
 class ParallelGA:
@@ -226,6 +231,8 @@ class ParallelGA:
         else:
             mask = rng.rand(*sub.shape) < self.cfg.mutation_probability
         noise = rng.uniform(lo, hi, sub.shape).astype(sub.dtype)
+        if self.cfg.mutation_scope is not None:
+            mask = mask & np.asarray(self.cfg.mutation_scope, bool)[None, :]
         self.population[new] = sub + noise * mask
         self.computed[new] = False
 

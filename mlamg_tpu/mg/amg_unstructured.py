@@ -50,10 +50,12 @@ from mlamg_tpu.mg.coarse import CoarseSolver
 # ---------------------------------------------------------------------------
 
 
-def galerkin_patterns(A_sp, agg: np.ndarray, k: int):
-    """(P_pat, AP_pat, AH_pat) scipy boolean patterns for P = S T.
+def galerkin_patterns(A_sp, agg: np.ndarray, k: int, smooth_steps: int = 1):
+    """(P_pat, AP_pat, AH_pat) scipy boolean patterns for P = S^s T.
 
-    ``A_sp``: scipy CSR (pattern source), ``agg``: (n,) aggregate ids.
+    ``A_sp``: scipy CSR (pattern source), ``agg``: (n,) aggregate ids,
+    ``smooth_steps`` = s (each smoothing step widens P by one power of
+    A's pattern).
     """
     import scipy.sparse as sp
 
@@ -68,6 +70,10 @@ def galerkin_patterns(A_sp, agg: np.ndarray, k: int):
     )
     Ppat.sum_duplicates()
     Ppat.data[:] = 1.0
+    for _ in range(smooth_steps - 1):
+        Ppat = (Bpat @ Ppat).tocsr()
+        Ppat.data[:] = 1.0
+    Ppat.sort_indices()
     APpat = (Bpat @ Ppat).tocsr()
     APpat.data[:] = 1.0
     AHpat = (Ppat.T.tocsr() @ APpat).tocsr()
@@ -75,6 +81,46 @@ def galerkin_patterns(A_sp, agg: np.ndarray, k: int):
     AHpat.sort_indices()
     APpat.sort_indices()
     return Ppat, APpat, AHpat
+
+
+def truncate_lump(A_sp, theta: float, mode: str = "lump_clip"):
+    """Drop coarse-operator entries with |a_ij| < theta*sqrt(|a_ii a_jj|).
+
+    Standard Galerkin-product truncation: without it the stencil width of
+    SA coarse operators compounds per level (measured: width 13 -> 54 ->
+    189 -> 708 over four levels at 600k dofs).  The keep criterion is
+    symmetric, so the pattern stays symmetric — REQUIRED by the factored
+    restriction (which applies A in place of A^T).  ``mode``:
+
+    - "drop": remove small entries outright (coarse row sums shift by the
+      dropped mass; symmetric, diagonals untouched);
+    - "lump_clip": additionally lump the dropped (negative) mass onto the
+      diagonal to preserve row sums, clipped so no diagonal loses more
+      than half its value (unclipped lumping flipped deep-level diagonals
+      near zero and diverged the cycle).
+    """
+    import scipy.sparse as sp
+
+    if theta <= 0:
+        return A_sp
+    A_sp = sp.csr_matrix(A_sp)
+    n = A_sp.shape[0]
+    coo = A_sp.tocoo()
+    d = np.asarray(A_sp.diagonal(), np.float64)
+    scale = np.sqrt(np.abs(d[coo.row] * d[coo.col])) + 1e-30
+    diag = coo.row == coo.col
+    keep = diag | (np.abs(coo.data) >= theta * scale)
+    A2 = sp.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A_sp.shape
+    ).tocsr()
+    if mode == "lump_clip":
+        dropped = np.bincount(
+            coo.row, weights=np.where(keep, 0.0, coo.data), minlength=n
+        )
+        lump = np.maximum(dropped, -0.5 * np.abs(d))
+        A2 = (A2 + sp.diags(lump.astype(A_sp.dtype))).tocsr()
+    A2.sort_indices()
+    return A2
 
 
 def _auto_chunk(wa: int, wb: int, budget: int = 1 << 22) -> int:
@@ -121,7 +167,7 @@ def rap_masked(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "Dinv", "agg", "omega", "lmax"],
+    data_fields=["A", "Dinv", "agg", "omegas", "lmax"],
     meta_fields=["k"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -131,7 +177,7 @@ class ULevel:
     A: Any  # WindowedELL (TPU) or CSR — anything matmul.spmv accepts
     Dinv: jax.Array  # (n,)
     agg: jax.Array  # (n,) int32 aggregate ids in [0, k)
-    omega: jax.Array  # SA smoothing weight (scalar)
+    omegas: jax.Array  # (s,) SA prolongator smoothing weights
     lmax: jax.Array  # spectral bound of D^-1 A (Chebyshev smoothing)
     k: int
 
@@ -152,15 +198,19 @@ class UHierarchy:
 
 
 def interp_factored(lev: ULevel, e_H: jax.Array) -> jax.Array:
-    """P e_H = (I - omega D^-1 A) (e_H injected through the aggregation)."""
+    """P e_H = prod_i (I - w_i D^-1 A) (e_H injected through the
+    aggregation); the factors commute, so application order is free."""
     u = e_H[lev.agg]
-    return u - lev.omega * lev.Dinv * matmul.spmv(lev.A, u)
+    for i in range(lev.omegas.shape[0]):
+        u = u - lev.omegas[i] * lev.Dinv * matmul.spmv(lev.A, u)
+    return u
 
 
 def restrict_factored(lev: ULevel, r: jax.Array) -> jax.Array:
-    """P^T r for symmetric A: segment-sum of (I - omega A D^-1) r."""
-    sr = r - lev.omega * matmul.spmv(lev.A, lev.Dinv * r)
-    return jax.ops.segment_sum(sr, lev.agg, num_segments=lev.k)
+    """P^T r for symmetric A: segment-sum of prod_i (I - w_i A D^-1) r."""
+    for i in range(lev.omegas.shape[0]):
+        r = r - lev.omegas[i] * matmul.spmv(lev.A, lev.Dinv * r)
+    return jax.ops.segment_sum(r, lev.agg, num_segments=lev.k)
 
 
 def uvcycle(
@@ -273,6 +323,8 @@ def build_unstructured_hierarchy(
     strength_kind: str = "abs",
     lloyd_maxiter: int = 3,
     seed_mode: str = "stride",
+    smooth_steps: int = 1,
+    trunc_theta: float = 0.02,
     seed: int = 0,
     coarse_method: str = "inverse",
     fmt: str | None = None,
@@ -351,11 +403,14 @@ def build_unstructured_hierarchy(
             agg_id, _, _ = lloyd_aggregation(
                 C, ratio=alpha, maxiter=lloyd_maxiter, key=sub
             )
-        agg = np.asarray(agg_id)
-        if (agg >= k).any():
-            raise RuntimeError(
-                "Lloyd left unassigned nodes (disconnected operator?)"
-            )
+        agg = np.asarray(agg_id).copy()
+        un = agg >= k
+        if un.any():
+            # nodes unreachable from every seed (isolated by Galerkin
+            # truncation or a disconnected operator): exact singleton
+            # aggregates
+            agg[un] = k + np.arange(int(un.sum()))
+            k += int(un.sum())
         # drop empty aggregates (would give zero coarse rows -> singular)
         used = np.unique(agg)
         if used.shape[0] < k:
@@ -364,31 +419,130 @@ def build_unstructured_hierarchy(
             agg = remap[agg]
             k = int(used.shape[0])
 
-        from mlamg_tpu.graph.strength import power_iteration_lmax
-
-        lmax = jnp.abs(power_iteration_lmax(A_dev, Dinv))
-        omega = (4.0 / 3.0) / jnp.where(lmax > 0, lmax, 1.0)
-        P_dev = smoothed_aggregation(
-            A_dev, jnp.asarray(agg, jnp.int32), k, omega=omega
+        # rigorous Gershgorin bound of D^-1 A (host, O(nnz)) — a power
+        # iteration's underestimate at large n puts the true lmax OUTSIDE
+        # the Chebyshev interval and diverges the smoother (observed at
+        # 600k dofs; 60k with identical settings converged)
+        absrow = np.bincount(
+            level_A.tocoo().row,
+            weights=np.abs(level_A.tocoo().data), minlength=n,
+        )
+        lmax = jnp.asarray(
+            float(np.max(absrow / np.abs(np.where(d != 0, d, 1.0)))),
+            jnp.float32,
+        )
+        lmax_s = jnp.where(lmax > 0, lmax, 1.0)
+        if smooth_steps == 1:
+            omegas = ((4.0 / 3.0) / lmax_s)[None]
+        else:
+            # inverse Chebyshev roots over the smoothed band: the product
+            # prod (1 - w_i t) is the minimax degree-s polynomial with
+            # p(0)=1 on [lmax/15, lmax] — the same band the cycle smoother
+            # targets
+            a_b = lmax_s / 15.0
+            b_b = lmax_s
+            ang = (2.0 * np.arange(1, smooth_steps + 1) - 1) / (2.0 * smooth_steps) * np.pi
+            roots = (a_b + b_b) / 2.0 + (b_b - a_b) / 2.0 * jnp.asarray(np.cos(ang), jnp.float32)
+            omegas = 1.0 / roots
+        P1 = smoothed_aggregation(
+            A_dev, jnp.asarray(agg, jnp.int32), k, omega=omegas[0]
         )
 
-        Ppat, APpat, AHpat = galerkin_patterns(level_A, agg, k)
-        pt_width = int(np.bincount(agg[level_A.tocoo().col], minlength=k).max())
+        Ppat, APpat, AHpat = galerkin_patterns(
+            level_A, agg, k, smooth_steps=smooth_steps
+        )
+        if smooth_steps == 1:
+            P_dev = P1
+            p_width = a_width
+        else:
+            # widen P step by step: P_{j+1} = P_j - w_{j+1} D^-1 A P_j on
+            # the host-known pattern B^j @ P1pat; P_j's entries inject by a
+            # host-computed position map (P_j pattern is a subset)
+            import scipy.sparse as _sp
+
+            coo0 = level_A.tocoo()
+            pat_j = _sp.csr_matrix(
+                (np.ones(level_A.nnz, np.float64), (coo0.row, agg[coo0.col])),
+                shape=(n, k),
+            )
+            pat_j.sum_duplicates()
+            pat_j.data[:] = 1.0
+            pat_j.sort_indices()
+            Bpat = _sp.csr_matrix(
+                (np.ones(level_A.nnz, np.float64), level_A.indices,
+                 level_A.indptr), shape=(n, n),
+            )
+            P_dev = P1
+            # device P1 lives on A's (row, col->agg) coordinates
+            key1_dev = (coo0.row.astype(np.int64) * (k + 1)
+                        + agg[coo0.col].astype(np.int64))
+            for j in range(1, smooth_steps):
+                pat_next = (Bpat @ pat_j).tocsr()
+                pat_next.data[:] = 1.0
+                pat_next.sort_indices()
+                nxt_coo = pat_next.tocoo()
+                keys_next = (nxt_coo.row.astype(np.int64) * (k + 1)
+                             + nxt_coo.col.astype(np.int64))
+                pj_width = int(np.diff(pat_j.indptr).max()) if j > 1 else a_width
+                pat_next_dev = CSR.from_scipy(pat_next, dtype=jnp.float32)
+                APj = matmul.spgemm_masked(
+                    A_dev, P_dev, pat_next_dev,
+                    a_width=a_width, b_width=pj_width,
+                    chunk=_auto_chunk(a_width, pj_width),
+                )
+                rsafe = jnp.minimum(APj.row, n - 1)
+                base = jnp.where(
+                    APj.mask, -omegas[j] * Dinv[rsafe] * APj.data, 0.0
+                )
+                if j == 1:
+                    pos = np.searchsorted(keys_next, key1_dev)
+                else:
+                    cj = pat_j.tocoo()
+                    keys_j = (cj.row.astype(np.int64) * (k + 1)
+                              + cj.col.astype(np.int64))
+                    pos = np.searchsorted(keys_next, keys_j)
+                # P_dev may carry padded tail slots; route them to a dump
+                # index (mode="drop")
+                pos_full = np.full(P_dev.data.shape[0], base.shape[0], np.int64)
+                pos_full[: pos.shape[0]] = pos
+                data = base.at[jnp.asarray(pos_full)].add(
+                    P_dev.data, mode="drop"
+                )
+                P_dev = APj.with_data(data)
+                pat_j = pat_next
+            p_width = int(np.diff(pat_j.indptr).max())
+
+        pt_width = int(
+            np.bincount(agg[level_A.tocoo().col], minlength=k).max()
+        ) if smooth_steps == 1 else int(
+            np.diff(Ppat.tocsc().indptr).max()
+        )
         ap_width = int(np.diff(APpat.indptr).max())
-        AH = rap_masked(
-            A_dev, P_dev,
-            CSR.from_scipy(APpat, dtype=jnp.float32),
-            CSR.from_scipy(AHpat, dtype=jnp.float32),
-            a_width=a_width, p_width=a_width,
-            pt_width=pt_width, ap_width=ap_width,
-        )
-        AH_sp = AH.to_scipy().tocsr()
+        if pt_width * ap_width <= 32768:
+            # device pattern-masked triple product (the large fine levels,
+            # where the numerics dominate setup)
+            AH = rap_masked(
+                A_dev, P_dev,
+                CSR.from_scipy(APpat, dtype=jnp.float32),
+                CSR.from_scipy(AHpat, dtype=jnp.float32),
+                a_width=a_width, p_width=p_width,
+                pt_width=pt_width, ap_width=ap_width,
+            )
+            AH_sp = AH.to_scipy().tocsr()
+        else:
+            # deep coarse levels grow wide aggregate supports; the masked
+            # contraction's (chunk, pt, ap) expansion would exceed HBM, and
+            # at these sizes (nnz a few M) a host product is milliseconds
+            Psp = P_dev.to_scipy().tocsr()
+            Psp.sum_duplicates()
+            AH_sp = (Psp.T @ level_A @ Psp).tocsr()
         AH_sp.sum_duplicates()
         AH_sp.eliminate_zeros()
+        AH_sp = truncate_lump(AH_sp, trunc_theta)
 
         op = _level_operator(level_A, fmt, block_rows)
         levels.append(
-            ULevel(op, Dinv, jnp.asarray(agg, jnp.int32), omega, lmax, k)
+            ULevel(op, Dinv, jnp.asarray(agg, jnp.int32), omegas, lmax, k)
         )
         if verbose:
             print(

@@ -17,8 +17,13 @@ from mlamg_tpu.models.gnn import TAGConv
 
 
 class ConvergencePredictor(nn.Module):
+    """``logit_head`` returns the raw pre-sigmoid score; training in logit
+    space avoids the saturated-sigmoid gradient collapse near conv ~ 1
+    (corrupted-aggregation samples)."""
+
     dims: tuple = (32, 64, 64, 32)
     K: int = 30
+    logit_head: bool = False
 
     @nn.compact
     def __call__(self, g: GraphData):
@@ -28,7 +33,8 @@ class ConvergencePredictor(nn.Module):
             x = nn.relu(TAGConv(d, K=self.K, name=f"tag_{i}")(g, x, ew))
         pooled = jnp.mean(x, axis=0)
         h = nn.relu(nn.Dense(32)(pooled))
-        return nn.sigmoid(nn.Dense(1)(h))[0]
+        z = nn.Dense(1)(h)[0]
+        return z if self.logit_head else nn.sigmoid(z)
 
 
 def load_mat_dataset(splitting_pkl: str, mat_dir: str):

@@ -138,10 +138,15 @@ def _opts_key(opts: SolveOptions):
 
 def lloyd_reference_conv(
     bundle: GridBundle, strength_kind: str = "abs", opts: SolveOptions | None = None,
-    key=None,
+    key=None, maxiter: int = 10,
 ) -> float:
     """Lloyd + Jacobi-SA benchmark convergence factor
-    (role of utils/common.py:84-111)."""
+    (role of utils/common.py:84-111).
+
+    Baseline protocol matches the reference's evaluator exactly
+    (utils/evaluate_dataset.py:70-79): ONE seeded Lloyd draw per grid —
+    not best-of-N — with ``maxiter`` defaulting to pyamg's
+    lloyd_aggregation default of 10 iterations."""
     opts = opts or SolveOptions()
     A = bundle.A
     n = A.shape[0]
@@ -150,7 +155,7 @@ def lloyd_reference_conv(
     return float(
         _lloyd_ref_core(
             A, bundle.x0, seeds, bundle.colors, bundle.k, strength_kind,
-            bundle.width, _opts_key(opts), 10, bundle.num_colors,
+            bundle.width, _opts_key(opts), maxiter, bundle.num_colors,
         )
     )
 
@@ -237,45 +242,59 @@ def make_buckets(grids, alpha: float, dtype=jnp.float32, step: int = 64):
         )
         nnz_pad = ((nnz_pad + 127) // 128) * 128
         k_bucket = max(1, int(np.ceil(alpha * nb)))
-        As, x0s, n_reals, k_reals, colorss = [], [], [], [], []
-        for i in idxs:
+        # all padding/stacking in numpy, ONE device transfer per field —
+        # per-grid device constructions round-trip the (possibly
+        # network-attached) device hundreds of times at startup
+        B = len(idxs)
+        npdt = np.dtype(dtype)
+        datas = np.zeros((B, nnz_pad), npdt)
+        rows = np.full((B, nnz_pad), nb, np.int32)
+        cols = np.zeros((B, nnz_pad), np.int32)
+        indptrs = np.zeros((B, nb + 1), np.int32)
+        x0s = np.zeros((B, nb), npdt)
+        colorss = np.zeros((B, nb), np.int32)
+        n_reals, k_reals = [], []
+        for j, i in enumerate(idxs):
             Ai = sp.csr_matrix(grids[i].A)
             n = Ai.shape[0]
             Ap = sp.block_diag(
                 [Ai, sp.eye(nb - n, format="csr")], format="csr"
             ) if nb > n else Ai
-            As.append(CSR.from_scipy(Ap, nnz_pad=nnz_pad, dtype=dtype))
-            x0 = np.zeros(nb, np.dtype(dtype))
-            x0[:n] = np.asarray(bundles[i].x0)
-            x0s.append(x0)
+            Ap.sort_indices()
+            nnz = int(Ap.nnz)
+            datas[j, :nnz] = Ap.data
+            cols[j, :nnz] = Ap.indices
+            rows[j, :nnz] = np.repeat(
+                np.arange(nb, dtype=np.int32), np.diff(Ap.indptr)
+            )
+            indptrs[j] = Ap.indptr
+            x0s[j, :n] = np.asarray(bundles[i].x0)
+            colorss[j, :n] = np.asarray(bundles[i].colors)
             n_reals.append(n)
             k_reals.append(bundles[i].k)
-            col = np.zeros(nb, np.int32)
-            col[:n] = np.asarray(bundles[i].colors)
-            colorss.append(col)
             # the (k_bucket - k_real) designated pad centers must fit in the
             # padding block
             assert 0 <= k_bucket - bundles[i].k <= nb - n, (k_bucket, bundles[i].k, nb, n)
-        # manual stack: per-grid nnz (a meta field) differs, but the mask is
+        # per-grid nnz (a meta field) differs, but the mask is
         # sentinel-based (row < m), so the stacked container carries the
         # common static capacity as its nnz
         stacked = CSR(
-            jnp.stack([a.data for a in As]),
-            jnp.stack([a.row for a in As]),
-            jnp.stack([a.col for a in As]),
-            jnp.stack([a.indptr for a in As]),
+            jnp.asarray(datas),
+            jnp.asarray(rows),
+            jnp.asarray(cols),
+            jnp.asarray(indptrs),
             (nb, nb),
             nnz_pad,
         )
         buckets.append(
             BucketStack(
                 stacked,
-                jnp.asarray(np.stack(x0s)),
+                jnp.asarray(x0s),
                 jnp.asarray(n_reals, jnp.int32),
                 jnp.asarray(k_reals, jnp.int32),
                 k_bucket,
                 np.asarray(idxs),
-                colors=jnp.asarray(np.stack(colorss)),
+                colors=jnp.asarray(colorss),
                 num_colors=max(bundles[i].num_colors for i in idxs),
             )
         )

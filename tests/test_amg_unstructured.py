@@ -126,3 +126,59 @@ class TestUnstructuredHierarchy:
 
         with pytest.raises(ValueError, match="symmetric"):
             build_unstructured_hierarchy(A, fmt="csr")
+
+
+class TestTwoStepSmoothedP:
+    def test_two_step_matches_scipy(self, hull_grid):
+        """smooth_steps=2: factored interp and the coarse operator both
+        equal the scipy product P = (I - w2 D^-1 A)(I - w1 D^-1 A) T."""
+        from mlamg_tpu.mg.amg_unstructured import (
+            build_unstructured_hierarchy, interp_factored,
+        )
+
+        A = hull_grid
+        n = A.shape[0]
+        h, perm = build_unstructured_hierarchy(
+            A, alpha=0.1, max_levels=2, min_coarse=80, lloyd_maxiter=5,
+            smooth_steps=2, trunc_theta=0.0, fmt="csr",
+        )
+        lev = h.levels[0]
+        Ap = A[perm][:, perm].tocsr()
+        agg = np.asarray(lev.agg)
+        k = lev.k
+        T = sp.csr_matrix(
+            (np.ones(n), (np.arange(n), agg)), shape=(n, k)
+        )
+        D = sp.diags(1.0 / Ap.diagonal())
+        w = np.asarray(lev.omegas)
+        S1 = sp.eye(n) - w[0] * (D @ Ap)
+        S2 = sp.eye(n) - w[1] * (D @ Ap)
+        Pref = (S2 @ (S1 @ T)).tocsr()
+        e = np.random.RandomState(1).randn(k).astype(np.float32)
+        pe = np.asarray(interp_factored(lev, jnp.asarray(e)))
+        ref = Pref @ e
+        np.testing.assert_allclose(pe, ref, atol=1e-5 * abs(ref).max())
+
+        AH_ref = (Pref.T @ Ap @ Pref).toarray()
+        AH = np.linalg.inv(np.asarray(h.coarse.lu))  # coarse stores inverse
+        assert abs(AH - AH_ref).max() < 1e-4 * abs(AH_ref).max()
+
+    def test_wcycle_converges(self, hull_grid):
+        from mlamg_tpu.mg.amg_unstructured import (
+            build_unstructured_hierarchy, uvcycle_solve,
+        )
+
+        h, _ = build_unstructured_hierarchy(
+            hull_grid, alpha=0.2, max_levels=4, min_coarse=60,
+            lloyd_maxiter=5, fmt="csr",
+        )
+        n = hull_grid.shape[0]
+        x0 = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
+        b = jnp.zeros(n, jnp.float32)
+        x, conv, err, iters = jax.jit(
+            lambda h, b, x: uvcycle_solve(
+                h, b, x, res_tol=1e-7, max_iter=60, nu=3, lmin_frac=1 / 15,
+                gamma=2,
+            )
+        )(h, b, x0)
+        assert float(conv) < 0.45, float(conv)
