@@ -47,6 +47,23 @@ def detect_bw(device) -> float:
     return 819.0
 
 
+def slope(timed, lo: int, hi: int, tries: int = 4) -> float:
+    """Slope between two chained iteration counts, retried until positive.
+
+    A single pair of wall-clock samples through the network tunnel
+    occasionally inverts (the longer chain returns faster) when the link
+    hiccups; a negative per-iteration time is always a measurement
+    artifact, so take the best positive slope of a few attempts."""
+    best = None
+    for _ in range(tries):
+        dt = (timed(hi) - timed(lo)) / (hi - lo)
+        if dt > 0:
+            best = dt if best is None else min(best, dt)
+    if best is None:
+        raise RuntimeError("timing slope stayed non-positive; tunnel unstable")
+    return best
+
+
 def bench_unstructured(on_tpu: bool):
     """Windowed-gather ELL SpMV on a random-hull FEM matrix (Gnnz/s)."""
     import jax
@@ -76,7 +93,7 @@ def bench_unstructured(on_tpu: bool):
         float(chain(W, x, k))
         return time.perf_counter() - t0
 
-    dt = (timed(30) - timed(10)) / 20
+    dt = slope(timed, 10, 30)
     return {
         "metric": "unstructured_spmv_gnnz_per_s",
         "value": round(W.nnz / dt / 1e9, 4),
@@ -136,7 +153,7 @@ def bench_twolevel():
         float(run(P, coarse, b, x0, iters))
         return time.perf_counter() - t0
 
-    dt = (timed(24) - timed(8)) / 16
+    dt = slope(timed, 8, 24)
     return {
         "metric": "twolevel_cycle_ms",
         "value": round(dt * 1e3, 3),
@@ -169,7 +186,11 @@ def bench_vcycle_16m():
     A = (sp.kron(I, T) + sp.kron(T, I)).tocsr()
     n = A.shape[0]
     Ad = blocked_dia(DIA.from_scipy(A))
-    h = build_structured_hierarchy(Ad, nx, nx, sides=(16, 8), min_coarse=256)
+    # sides (8, 8): the aggressive (16, 8) hierarchy is ~2x faster per
+    # cycle but its 256-node box aggregates DIVERGE as a standalone solver
+    # (factor ~2.26; round-3 masked this with an in-loop rescale) — the
+    # published number must be a convergent cycle
+    h = build_structured_hierarchy(Ad, nx, nx, sides=(8, 8), min_coarse=256)
     x0 = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
     b = jnp.zeros(n, jnp.float32)
 
@@ -181,7 +202,7 @@ def bench_vcycle_16m():
     @jax.jit
     def conv_check(h, b, x0):
         def body(x, _):
-            x2 = vcycle(h, b, x, nu=1)
+            x2 = vcycle(h, b, x, nu=2)
             return x2, jnp.linalg.norm(x2)
 
         _, norms = jax.lax.scan(body, x0, None, length=6)
@@ -195,7 +216,7 @@ def bench_vcycle_16m():
     @partial(jax.jit, static_argnames=("iters",))
     def run(h, b, x0, iters):
         def body(i, x):
-            return vcycle(h, b, x, nu=1)
+            return vcycle(h, b, x, nu=2)
 
         return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
 
@@ -205,7 +226,7 @@ def bench_vcycle_16m():
         float(run(h, b, x0, iters))
         return time.perf_counter() - t0
 
-    dt = (timed(12) - timed(4)) / 8
+    dt = slope(timed, 4, 12)
     return {
         "metric": "vcycle_16m_ms",
         "value": round(dt * 1e3, 3),
@@ -276,7 +297,7 @@ def bench_unstructured_multilevel():
         float(run(h, b, x0, iters))
         return time.perf_counter() - t0
 
-    dt = (timed(9) - timed(3)) / 6
+    dt = slope(timed, 3, 9, tries=3)
     return {
         "metric": "vcycle_unstructured_600k_ms",
         "value": round(dt * 1e3, 3),
