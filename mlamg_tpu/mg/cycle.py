@@ -208,7 +208,7 @@ def _conv_factor(err: jax.Array, iters: jax.Array) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["As", "Ps", "Dinvs", "coarse"],
+    data_fields=["As", "Ps", "Dinvs", "coarse", "lmaxs"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -216,13 +216,16 @@ class Hierarchy:
     """Static-depth multilevel hierarchy (level 0 = finest).
 
     ``As[l]`` sparse operator, ``Ps[l]`` prolongator level l+1 -> l,
-    ``coarse`` dense LU of the coarsest operator.
+    ``coarse`` dense LU of the coarsest operator.  ``lmaxs[l]`` (optional)
+    bounds the spectrum of D^-1 A at level l, enabling the Chebyshev
+    smoother in :func:`vcycle`.
     """
 
     As: tuple
     Ps: tuple
     Dinvs: tuple
     coarse: CoarseSolver
+    lmaxs: tuple = ()
 
     @property
     def num_levels(self) -> int:
@@ -323,14 +326,27 @@ def _level_spmv(A, x):
     return matmul.spmv(A, x)
 
 
-def vcycle(h: Hierarchy, b: jax.Array, x: jax.Array, *, omega: float = 0.666, nu: int = 1):
-    """One V-cycle through the hierarchy (static recursion depth)."""
+def vcycle(h: Hierarchy, b: jax.Array, x: jax.Array, *, omega: float = 0.666, nu: int = 1,
+           smoother: str = "jacobi", lmin_frac: float = 1.0 / 15.0):
+    """One V-cycle through the hierarchy (static recursion depth).
+
+    ``smoother="chebyshev"`` (requires ``h.lmaxs``) runs a degree-``nu+1``
+    Chebyshev polynomial per pre/post smooth — substantially stronger than
+    Jacobi for the aggressive box coarsening of the structured hierarchy."""
 
     def descend(l, b, x):
         A = h.As[l]
         Dinv = h.Dinvs[l]
 
         def smooth(x):
+            if smoother == "chebyshev":
+                from mlamg_tpu.mg.smoothers import chebyshev
+
+                return chebyshev(
+                    A, b, x, 1.1 * h.lmaxs[l], lmin_frac=lmin_frac,
+                    degree=nu + 1, Dinv=Dinv,
+                )
+
             def body(_, x):
                 return x + omega * Dinv * (b - _level_spmv(A, x))
 

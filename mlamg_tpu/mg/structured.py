@@ -134,6 +134,7 @@ def build_structured_hierarchy(
     As = [A]
     Ps = []
     Dinvs = []
+    lmaxs = []
     cy, cx = ny, nx
     level_A = A
     for side in sides:
@@ -146,7 +147,18 @@ def build_structured_hierarchy(
         except ValueError:
             break  # coarse grid too narrow for the stencil reach — stop here
         d = level_A.diagonal()
-        Dinvs.append(1.0 / jnp.where(d != 0, d, 1.0))
+        Dinv_l = 1.0 / jnp.where(d != 0, d, 1.0)
+        Dinvs.append(Dinv_l)
+        # Gershgorin bound of D^-1 A (rigorous; a power iteration's
+        # underestimate can put the true lmax outside the Chebyshev
+        # interval and diverge the smoother)
+        absrow = jnp.zeros_like(d)
+        dat = level_A.data
+        if dat.ndim == 3:
+            absrow = jnp.sum(jnp.abs(dat), axis=0).reshape(-1)
+        else:
+            absrow = jnp.sum(jnp.abs(dat), axis=0)
+        lmaxs.append(jnp.max(absrow * jnp.abs(Dinv_l)))
         cy, cx = cy // sy, cx // sx
         if block and jax.default_backend() == "tpu" and (cy * cx) % 128 == 0:
             A_next = blocked_dia(A_next)
@@ -154,4 +166,5 @@ def build_structured_hierarchy(
         As.append(A_next)
         level_A = A_next
     coarse = CoarseSolver.factor(As[-1].todense(), method=coarse_method)
-    return Hierarchy(tuple(As[:-1]), tuple(Ps), tuple(Dinvs), coarse)
+    return Hierarchy(tuple(As[:-1]), tuple(Ps), tuple(Dinvs), coarse,
+                     tuple(lmaxs))

@@ -92,9 +92,13 @@ class TestUnstructuredHierarchy:
         b = jnp.zeros(n, jnp.float32)
         x, conv, err, iters = jax.jit(
             lambda h, b, x: uvcycle_solve(
-                h, b, x, res_tol=1e-7, max_iter=60, nu=3, lmin_frac=1 / 15
+                h, b, x, res_tol=1e-7, max_iter=60, nu=3, lmin_frac=1 / 15,
+                gamma=2,
             )
         )(h, b, x0)
+        # Gershgorin lmax + default truncation trade a little single-grid
+        # conv for robustness at scale; the W-cycle keeps this family well
+        # convergent (the alpha=0.2 production config asserts < 0.45 below)
         assert float(conv) < 0.55, float(conv)
 
     def test_solves_permuted_system(self, hull_grid):
