@@ -53,15 +53,23 @@ def slope(timed, lo: int, hi: int, tries: int = 4) -> float:
     A single pair of wall-clock samples through the network tunnel
     occasionally inverts (the longer chain returns faster) when the link
     hiccups; a negative per-iteration time is always a measurement
-    artifact, so take the best positive slope of a few attempts."""
-    best = None
+    artifact, so those attempts are discarded.  Of the positive slopes the
+    *median* is published: min() of noisy differences is biased low (one
+    noise-inflated timed(lo) fabricates a too-small slope that min keeps),
+    while the median only removes outliers.  Returns early once three
+    positive samples agree within 5% to limit tunnel load."""
+    samples: list[float] = []
     for _ in range(tries):
         dt = (timed(hi) - timed(lo)) / (hi - lo)
         if dt > 0:
-            best = dt if best is None else min(best, dt)
-    if best is None:
+            samples.append(dt)
+        if len(samples) >= 3:
+            s = sorted(samples)
+            if s[-1] - s[0] <= 0.05 * s[0]:
+                break
+    if not samples:
         raise RuntimeError("timing slope stayed non-positive; tunnel unstable")
-    return best
+    return float(np.median(samples))
 
 
 def bench_unstructured(on_tpu: bool):

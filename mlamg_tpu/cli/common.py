@@ -160,6 +160,11 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--compute-test-loss", default=True, type=parse_bool_str)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--loss-relative-measure", type=parse_bool_str, default=True)
+    parser.add_argument("--fitness-metric", default="mean_ratio",
+                        choices=["mean_ratio", "ratio_of_means"],
+                        help="mean_ratio = reference trainer fitness "
+                             "(1/mean(conv/ref)); ratio_of_means = the "
+                             "published-table protocol mean(conv)/mean(ref)")
     parser.add_argument("--adaptive-sigma", type=parse_bool_str, default=False,
                         help="mutation scale follows the 1/5-success rule "
                              "(fixes the fixed-perturbation stall near optima)")

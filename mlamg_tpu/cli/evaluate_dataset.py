@@ -84,9 +84,23 @@ def main(argv=None):
     print(f"random: mean conv {results['random'].mean():.4f} ({time.time()-t:.1f}s)")
 
     if args.model:
-        net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations,
-                         bf_width=dataset_bf_width(grids))
-        params = load_checkpoint(args.model)["best_params"]
+        ck = load_checkpoint(args.model)
+        nc = (ck.get("extra") or {}).get("net_config") or {}
+        # the BF width is part of the trained forward; a width re-derived
+        # from the eval split alone can silently differ from the training
+        # width (e.g. 2d_iso: train 11 vs test 10) and change every learned
+        # conv factor.  Prefer the checkpoint's width; it must still cover
+        # the eval split's degrees.
+        width = max(int(nc.get("bf_width", 0)), dataset_bf_width(grids))
+        net = FullAggNet(
+            dim=int(nc.get("dim", args.dim)),
+            num_conv=int(nc.get("num_conv", args.num_conv)),
+            iterations=int(nc.get("iterations", args.iterations)),
+            bf_width=width,
+        )
+        if nc:
+            print(f"net config from checkpoint: {nc} (bf_width used: {width})")
+        params = ck["best_params"]
         t = time.time()
         results["ml"] = evaluate_model_on_bundles(net, params, bundles, opts)
         print(f"ml:     mean conv {results['ml'].mean():.4f} ({time.time()-t:.1f}s)")

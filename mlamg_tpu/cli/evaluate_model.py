@@ -53,8 +53,15 @@ def main(argv=None):
 
     ml = None
     if args.model:
-        net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations)
-        params = load_checkpoint(args.model)["best_params"]
+        ck = load_checkpoint(args.model)
+        nc = (ck.get("extra") or {}).get("net_config") or {}
+        kw = dict(dim=int(nc.get("dim", args.dim)),
+                  num_conv=int(nc.get("num_conv", args.num_conv)),
+                  iterations=int(nc.get("iterations", args.iterations)))
+        if nc.get("bf_width"):
+            kw["bf_width"] = max(int(nc["bf_width"]), b.width)
+        net = FullAggNet(**kw)
+        params = ck["best_params"]
         agg_id, P, C_ml, centers, scores = net.apply(params, b.A, b.k)
         conv = float(measured_conv(b.A, P, b.x0, opts))
         connected = bool(check_aggregates_connected(b.A, agg_id, b.k))

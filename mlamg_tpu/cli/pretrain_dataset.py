@@ -110,9 +110,9 @@ def main(argv=None):
     data = build_targets(train_grids, args.alpha, args.strength_measure)
     print(f"{len(data)} training grids")
 
+    bf_width = dataset_bf_width(train_grids)
     net = FullAggNet(dim=args.dim, num_conv=args.num_conv,
-                     iterations=args.iterations,
-                     bf_width=dataset_bf_width(train_grids))
+                     iterations=args.iterations, bf_width=bf_width)
     A0, k0 = data[0][0], data[0][1]
     params = net.init(jax.random.PRNGKey(args.seed), A0, k0)
     opt = optax.adam(args.lr)
@@ -180,7 +180,12 @@ def main(argv=None):
                 flush=True,
             )
 
-    save_checkpoint(args.out, generation=0, best_params=params)
+    save_checkpoint(
+        args.out, generation=0, best_params=params,
+        extra=dict(net_config=dict(dim=args.dim, num_conv=args.num_conv,
+                                   iterations=args.iterations,
+                                   bf_width=bf_width)),
+    )
     print(f"saved {args.out}")
 
 

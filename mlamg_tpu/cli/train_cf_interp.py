@@ -137,7 +137,14 @@ def main(argv=None):
                   flush=True)
 
     if args.checkpoint:
-        save_checkpoint(args.checkpoint, generation=args.epochs, best_params=params)
+        # net_config pins the forward the weights were trained under:
+        # row_normalize silently changes the emitted P, so loading a
+        # checkpoint must reconstruct the same architecture flags.
+        save_checkpoint(
+            args.checkpoint, generation=args.epochs, best_params=params,
+            extra=dict(net_config=dict(dims=list(args.dims), K=args.K,
+                                       row_normalize=bool(net.row_normalize))),
+        )
 
     # ---- deployment comparison 1: the PC's own solve (the MLAMG role —
     # the reference applies this model family to the pressure/Schur block,

@@ -180,8 +180,16 @@ def main(argv=None):
     rng = np.random.RandomState(args.seed)
     order = rng.permutation(len(samples))
     n_test = max(1, int(len(samples) * args.test_frac))
-    test_idx, train_idx = order[:n_test], order[n_test:]
-    print(f"{len(train_idx)} train / {len(test_idx)} test samples")
+    # validation carved out of the TRAINING indices for early-stopping
+    # checkpoint selection; the test split is touched only by the final
+    # report (selecting over checkpoints on the reporting split would
+    # optimistically bias the published metric).
+    n_val = max(1, int(len(samples) * args.test_frac))
+    test_idx = order[:n_test]
+    val_idx = order[n_test:n_test + n_val]
+    train_idx = order[n_test + n_val:]
+    print(f"{len(train_idx)} train / {len(val_idx)} val / "
+          f"{len(test_idx)} test samples")
 
     net = ConvergencePredictor(dims=tuple(args.dims), K=args.K,
                                logit_head=args.logit_space)
@@ -224,7 +232,7 @@ def main(argv=None):
             corr = float("nan")
         return mse, corr
 
-    best = (-np.inf, None)  # (test corr, params) — early-stopping selection
+    best = (-np.inf, None)  # (val corr, params) — early-stopping selection
     for epoch in range(args.epochs):
         rng.shuffle(train_idx)
         tot = 0.0
@@ -235,20 +243,23 @@ def main(argv=None):
             )
             tot += float(loss)
         if (epoch + 1) % 5 == 0 or epoch == args.epochs - 1:
-            mse, corr = evaluate(test_idx)
+            mse, corr = evaluate(val_idx)
             if np.isfinite(corr) and corr > best[0]:
                 best = (corr, jax.tree_util.tree_map(lambda x: x, params))
             print(
                 f"epoch {epoch + 1}: train mse {tot / len(train_idx):.5f}  "
-                f"test mse {mse:.5f}  test corr {corr:.3f}",
+                f"val mse {mse:.5f}  val corr {corr:.3f}",
                 flush=True,
             )
 
     if best[1] is not None:
         params = best[1]
     mse, corr = evaluate(test_idx)
+    val_mse, val_corr = evaluate(val_idx)
     result = {"test_mse": mse, "test_corr": corr,
-              "n_train": len(train_idx), "n_test": len(test_idx)}
+              "val_mse": val_mse, "val_corr": val_corr,
+              "n_train": len(train_idx), "n_val": len(val_idx),
+              "n_test": len(test_idx)}
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

@@ -88,11 +88,18 @@ def main(argv=None):
         print("benchmark-only: reference convs cached, exiting")
         return
 
+    bf_width = dataset_bf_width(train_grids)
+    start_ck = load_checkpoint(args.start_model) if args.start_model else None
+    if start_ck:
+        nc0 = (start_ck.get("extra") or {}).get("net_config") or {}
+        bf_width = max(bf_width, int(nc0.get("bf_width", 0)))
     net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations,
-                     bf_width=dataset_bf_width(train_grids))
+                     bf_width=bf_width)
+    net_config = dict(dim=args.dim, num_conv=args.num_conv,
+                      iterations=args.iterations, bf_width=bf_width)
     params = net.init(jax.random.PRNGKey(0), train[0].A, train[0].k)
-    if args.start_model:
-        params = load_checkpoint(args.start_model)["best_params"]
+    if start_ck:
+        params = start_ck["best_params"]
     vec, unravel, fold_ids, fold_names = flatten_params(
         params, fold_depth=args.fold_depth
     )
@@ -108,6 +115,7 @@ def main(argv=None):
         fitness = make_population_fitness_bucketed(
             net, unravel, train, train_buckets, opts,
             loss_relative=args.loss_relative_measure, mesh=mesh,
+            fitness_metric=args.fitness_metric,
         )
     else:
         fitness = make_population_fitness(
@@ -163,6 +171,7 @@ def main(argv=None):
         test_fitness = make_population_fitness_bucketed(
             net, unravel, test, test_buckets, opts,
             loss_relative=args.loss_relative_measure,
+            fitness_metric=args.fitness_metric,
         )
     else:
         test_fitness = make_population_fitness(
@@ -177,14 +186,28 @@ def main(argv=None):
             final or gen % args.test_loss_every == 0
         )
         do_ckpt = final or gen % args.checkpoint_every == 0
+        st = ga.last_stats
+        diag = (
+            f"  [sigma {st['sigma']:.4g} accept {st['accept_rate']:.2f} "
+            f"off {st['offspring_mean']:.4f}+-{st['offspring_std']:.4f} "
+            f"best {st['offspring_best']:.4f}]"
+            if st else ""
+        )
         if do_test:
             t_fit = float(test_fitness(jnp.asarray(best)[None, :], gen)[0])
             test_loss = 1.0 / t_fit
             writer.add_scalars("Loss/Test", {"ML": test_loss, "Lloyd": 1.0}, gen)
             print(f"Generation = {gen}  Train Loss = {train_loss:.6f}  "
-                  f"Test Loss = {test_loss:.6f}", flush=True)
+                  f"Test Loss = {test_loss:.6f}{diag}", flush=True)
         else:
-            print(f"Generation = {gen}  Train Loss = {train_loss:.6f}", flush=True)
+            print(f"Generation = {gen}  Train Loss = {train_loss:.6f}{diag}",
+                  flush=True)
+        if st:
+            writer.add_scalars(
+                "GA/Offspring",
+                {k: float(v) for k, v in st.items()},
+                gen,
+            )
         writer.add_scalars("Loss/Train", {"ML": train_loss, "Lloyd": 1.0}, gen)
         writer.add_scalars(
             "PopulationFitness",
@@ -200,6 +223,7 @@ def main(argv=None):
                 fitness=ga.fitness,
                 key=ga.key,
                 sigma=ga.sigma,
+                extra=dict(net_config=net_config),
             )
 
     report()

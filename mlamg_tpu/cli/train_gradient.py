@@ -122,14 +122,24 @@ def main(argv=None):
     print(f"train Lloyd benchmark conv: {tr_ref.mean():.4f}", flush=True)
     print(f"test Lloyd benchmark conv: {te_ref.mean():.4f}", flush=True)
 
+    bf_width = dataset_bf_width(train_grids)
+    start_ck = load_checkpoint(args.start_model) if args.start_model else None
+    if start_ck:
+        nc0 = (start_ck.get("extra") or {}).get("net_config") or {}
+        bf_width = max(bf_width, int(nc0.get("bf_width", 0)))
     net = FullAggNet(
         dim=args.dim, num_conv=args.num_conv, iterations=args.iterations,
-        bf_width=dataset_bf_width(train_grids),
+        bf_width=bf_width,
     )
+    # the BF width is part of the trained forward: checkpoints carry it so
+    # evaluators reconstruct the exact architecture instead of re-deriving
+    # a (possibly smaller) width from the eval split
+    net_config = dict(dim=args.dim, num_conv=args.num_conv,
+                      iterations=args.iterations, bf_width=bf_width)
     A0 = jax.tree_util.tree_map(lambda x: x[0], train_buckets[0].A)
     params = net.init(jax.random.PRNGKey(args.seed), A0, train_buckets[0].k)
-    if args.start_model:
-        params = load_checkpoint(args.start_model)["best_params"]
+    if start_ck:
+        params = start_ck["best_params"]
     vec, unravel, _, _ = flatten_params(params)
     vec = jnp.asarray(vec, jnp.float32)
     print(f"{vec.shape[0]} weights", flush=True)
@@ -292,6 +302,7 @@ def main(argv=None):
                 os.path.join(args.out, "grad_best.ckpt"),
                 generation=it + 1,
                 best_params=unravel(jnp.asarray(bvec)),
+                extra=dict(net_config=net_config),
             )
 
     tr, te = discrete_losses(jnp.asarray(best[1] if best[1] is not None else vec))

@@ -102,12 +102,15 @@ def ici_projection(cycle_ms_1shard: float, nx: int, k: int,
     )
 
 
-def production_ici_projection(cycle_ms_1chip: float = 5.275, nx: int = 4096,
-                              levels: int = 3, k_coarse: int = 65536,
-                              nu: int = 1, ici_gbps: float = 45.0,
+def production_ici_projection(cycle_ms_1chip: float = 10.358, nx: int = 4096,
+                              levels: int = 3, k_coarse: int = 4096,
+                              nu: int = 2, box_side: int = 8,
+                              ici_gbps: float = 45.0,
                               hop_latency_us: float = 1.0):
     """Weak-scaling projection for the PRODUCTION structured V-cycle
-    (bench.py vcycle_16m: n = nx^2 per chip, measured ms on the real chip).
+    (bench.py vcycle_16m: n = nx^2 per chip, measured ms on the real chip;
+    defaults mirror the published convergent sides=(8,8), nu=2 hierarchy —
+    BENCH_r04 10.358 ms/cycle, coarsest 64^2 = 4096).
 
     Row-partitioned slabs: per level each pre/post smooth, residual and
     factored interp/restrict exchanges one halo row of the level's width
@@ -121,7 +124,7 @@ def production_ici_projection(cycle_ms_1chip: float = 5.275, nx: int = 4096,
     for _ in range(levels):
         halo_bytes += 2 * (2 * nu + 3) * w * 4
         msgs += 2 * (2 * nu + 3)
-        w //= 16  # level-0 box side of the probed hierarchy
+        w //= box_side  # per-level aggregate box side of the hierarchy
     rows = []
     for S in (2, 4, 8, 16):
         gather_bytes = (S - 1) / S * k_coarse * 4
@@ -147,6 +150,22 @@ def production_ici_projection(cycle_ms_1chip: float = 5.275, nx: int = 4096,
     )
 
 
+def _prod_cycle_ms(args) -> float | None:
+    """Measured 1-chip cycle time for the production projection: explicit
+    flag first, else the convergent vcycle_16m_ms from the bench artifact."""
+    if args.prod_cycle_ms:
+        return args.prod_cycle_ms
+    try:
+        with open(args.bench_json) as f:
+            payload = json.load(f)
+        for m in payload["parsed"]["detail"]["extra_metrics"]:
+            if m["metric"] == "vcycle_16m_ms":
+                return float(m["value"])
+    except Exception:
+        pass
+    return None
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -156,6 +175,12 @@ def main(argv=None):
     p.add_argument("--ny-loc", type=int, default=32)
     p.add_argument("--agg", type=int, default=4, help="box aggregate side")
     p.add_argument("--out", type=str, default=None, help="write JSON here")
+    p.add_argument("--prod-cycle-ms", type=float, default=None,
+                   help="measured 1-chip ms/V-cycle for the production "
+                        "projection (default: read vcycle_16m_ms from "
+                        "--bench-json, else the last published value)")
+    p.add_argument("--bench-json", type=str, default="BENCH_r04.json",
+                   help="bench artifact to pull the measured cycle time from")
     args = p.parse_args(argv)
 
     if args.virtual_devices:
@@ -250,7 +275,9 @@ def main(argv=None):
         ici_projection=ici_projection(
             rows[0]["cycle_ms_per_iter"], nx, rows[0]["k"]
         ),
-        ici_projection_production=production_ici_projection(),
+        ici_projection_production=production_ici_projection(
+            **({"cycle_ms_1chip": _prod_cycle_ms(args)} if _prod_cycle_ms(args) else {})
+        ),
     )
     print(json.dumps(out))
     if args.out:

@@ -64,8 +64,13 @@ class LearnedAMGPreconditioner:
         if net is None and model_path:
             from mlamg_tpu.utils.checkpoint import load_checkpoint
 
-            net = CFInterpolationNetwork()
-            net_params = load_checkpoint(model_path)["best_params"]
+            ck = load_checkpoint(model_path)
+            nc = (ck.get("extra") or {}).get("net_config") or {}
+            net = CFInterpolationNetwork(
+                **({"dims": tuple(nc["dims"]), "K": int(nc["K"]),
+                    "row_normalize": bool(nc["row_normalize"])} if nc else {})
+            )
+            net_params = ck["best_params"]
         if net is not None:
             P = net.apply(
                 net_params, self.A, jnp.asarray(is_coarse), jnp.asarray(c_rank), num_c

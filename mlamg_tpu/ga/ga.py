@@ -105,6 +105,9 @@ class ParallelGA:
         self.sigma = self.sigma0
         self._last_new: np.ndarray = np.zeros(0, np.int64)
         self._pre_gen_best: float = -np.inf
+        # per-generation offspring diagnostics (populated by iteration());
+        # flat-fitness stagnation is undiagnosable without them.
+        self.last_stats: dict = {}
 
     @staticmethod
     def _coerce_key(key) -> np.ndarray:
@@ -162,6 +165,13 @@ class ParallelGA:
         else:
             pt = rng.randint(0, self.num_weights, (n_pairs, 1))
             mask = np.arange(self.num_weights)[None, :] < pt
+        if self.cfg.mutation_scope is not None:
+            # out-of-scope ("frozen") weights must not be exchanged either:
+            # crossover mixing them would let the frozen head drift between
+            # individuals even though mutation never touches it.  Forcing
+            # the mask True outside the scope makes each child keep its own
+            # parent's frozen genes (child1<-A, child2<-B).
+            mask = mask | ~np.asarray(self.cfg.mutation_scope, bool)[None, :]
         child1 = np.where(mask, A, B)
         child2 = np.where(mask, B, A)
         # when not crossing, children are the parents themselves
@@ -236,8 +246,24 @@ class ParallelGA:
         self.population[new] = sub + noise * mask
         self.computed[new] = False
 
+    def _record_stats(self):
+        """Offspring diagnostics for the generation just evaluated."""
+        if len(self._last_new) == 0:
+            self.last_stats = {}
+            return
+        off = np.asarray(self.fitness[self._last_new], np.float64)
+        self.last_stats = dict(
+            n_offspring=int(len(off)),
+            accept_rate=float(np.mean(off > self._pre_gen_best)),
+            offspring_best=float(off.max()),
+            offspring_mean=float(off.mean()),
+            offspring_std=float(off.std()),
+            sigma=float(self.sigma),
+        )
+
     def _adapt_sigma(self):
         """Rechenberg 1/5-success rule on the just-evaluated offspring."""
+        self._record_stats()
         if not self.cfg.adaptive_sigma or len(self._last_new) == 0:
             return
         success = float(np.mean(self.fitness[self._last_new] > self._pre_gen_best))

@@ -309,11 +309,18 @@ def make_population_fitness_bucketed(
     opts: SolveOptions | None = None,
     loss_relative: bool = True,
     mesh=None,
+    fitness_metric: str = "mean_ratio",
 ):
     """Bucketed fitness: ONE jitted program per shape bucket evaluates the
     whole population on every grid of the bucket (vmap over grids x vmap
     over parameter vectors), optionally shard_mapped over the mesh's 'pop'
-    axis.  Same contract as :func:`make_population_fitness`."""
+    axis.  Same contract as :func:`make_population_fitness`.
+
+    ``fitness_metric``: "mean_ratio" (reference trainer,
+    utils/train_dataset.py:134-138: 1/mean_i(conv_i/ref_i)) or
+    "ratio_of_means" (the reference's published-table protocol — the tex
+    tables report mean conv per method, so the headline comparison is
+    mean(conv)/mean(ref); optimizing this directly targets it)."""
     opts = opts or SolveOptions()
 
     order = np.concatenate([b.idx for b in buckets])
@@ -365,6 +372,10 @@ def make_population_fitness_bucketed(
             )
         convs = jnp.concatenate([ev(population) for ev in evaluators], axis=1)[:M]
         convs = jnp.where(jnp.isnan(convs), 1.0, convs)
+        if fitness_metric == "ratio_of_means":
+            denom = jnp.mean(ref) if loss_relative else 1.0
+            rel = jnp.mean(convs, axis=1) / denom
+            return 1.0 / jnp.maximum(rel, 1e-9)
         if loss_relative:
             rel = convs / ref[None, :]
         else:
