@@ -192,6 +192,10 @@ def add_training_args(parser: argparse.ArgumentParser):
     parser.add_argument("--dim", type=int, default=8, help="model hidden dim")
     parser.add_argument("--num-conv", type=int, default=2)
     parser.add_argument("--iterations", type=int, default=2)
+    parser.add_argument("--rel-strength", type=parse_bool_str, default=False,
+                        help="row-normalized strength edge feature for "
+                             "AggNet/CNet (scale-invariant anisotropy "
+                             "signal; changes parameter shapes)")
     parser.add_argument("--bucketed", type=parse_bool_str, default=True,
                         help="evaluate fitness as one program per shape bucket "
                              "instead of one per grid")

@@ -97,6 +97,7 @@ def main(argv=None):
             num_conv=int(nc.get("num_conv", args.num_conv)),
             iterations=int(nc.get("iterations", args.iterations)),
             bf_width=width,
+            rel_strength=bool(nc.get("rel_strength", False)),
         )
         if nc:
             print(f"net config from checkpoint: {nc} (bf_width used: {width})")

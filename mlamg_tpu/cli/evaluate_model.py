@@ -57,7 +57,8 @@ def main(argv=None):
         nc = (ck.get("extra") or {}).get("net_config") or {}
         kw = dict(dim=int(nc.get("dim", args.dim)),
                   num_conv=int(nc.get("num_conv", args.num_conv)),
-                  iterations=int(nc.get("iterations", args.iterations)))
+                  iterations=int(nc.get("iterations", args.iterations)),
+                  rel_strength=bool(nc.get("rel_strength", False)))
         if nc.get("bf_width"):
             kw["bf_width"] = max(int(nc["bf_width"]), b.width)
         net = FullAggNet(**kw)

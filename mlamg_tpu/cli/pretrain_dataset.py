@@ -87,6 +87,8 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=8)
     p.add_argument("--num-conv", type=int, default=2)
     p.add_argument("--iterations", type=int, default=2)
+    p.add_argument("--rel-strength", default=False,
+                   type=lambda v: str(v).lower() in ("t", "true", "1", "yes"))
     p.add_argument("--strength-measure", default="olson")
     p.add_argument("--out", type=str, default="pretrain.ckpt")
     p.add_argument("--platform", type=str, default=None)
@@ -112,7 +114,8 @@ def main(argv=None):
 
     bf_width = dataset_bf_width(train_grids)
     net = FullAggNet(dim=args.dim, num_conv=args.num_conv,
-                     iterations=args.iterations, bf_width=bf_width)
+                     iterations=args.iterations, bf_width=bf_width,
+                     rel_strength=args.rel_strength)
     A0, k0 = data[0][0], data[0][1]
     params = net.init(jax.random.PRNGKey(args.seed), A0, k0)
     opt = optax.adam(args.lr)
@@ -184,7 +187,8 @@ def main(argv=None):
         args.out, generation=0, best_params=params,
         extra=dict(net_config=dict(dim=args.dim, num_conv=args.num_conv,
                                    iterations=args.iterations,
-                                   bf_width=bf_width)),
+                                   bf_width=bf_width,
+                                   rel_strength=args.rel_strength)),
     )
     print(f"saved {args.out}")
 

@@ -93,10 +93,16 @@ def main(argv=None):
     if start_ck:
         nc0 = (start_ck.get("extra") or {}).get("net_config") or {}
         bf_width = max(bf_width, int(nc0.get("bf_width", 0)))
+    if start_ck:
+        args.rel_strength = bool(
+            ((start_ck.get("extra") or {}).get("net_config") or {})
+            .get("rel_strength", args.rel_strength)
+        )
     net = FullAggNet(dim=args.dim, num_conv=args.num_conv, iterations=args.iterations,
-                     bf_width=bf_width)
+                     bf_width=bf_width, rel_strength=args.rel_strength)
     net_config = dict(dim=args.dim, num_conv=args.num_conv,
-                      iterations=args.iterations, bf_width=bf_width)
+                      iterations=args.iterations, bf_width=bf_width,
+                      rel_strength=args.rel_strength)
     params = net.init(jax.random.PRNGKey(0), train[0].A, train[0].k)
     if start_ck:
         params = start_ck["best_params"]

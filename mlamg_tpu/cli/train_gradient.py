@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=8)
     p.add_argument("--num-conv", type=int, default=2)
     p.add_argument("--iterations", type=int, default=2)
+    p.add_argument("--rel-strength", default=False,
+                   type=lambda v: str(v).lower() in ("t", "true", "1", "yes"),
+                   help="row-normalized strength edge feature (see "
+                        "cli/common.py add_training_args)")
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--lr-decay", type=float, default=0.3,
@@ -127,15 +131,17 @@ def main(argv=None):
     if start_ck:
         nc0 = (start_ck.get("extra") or {}).get("net_config") or {}
         bf_width = max(bf_width, int(nc0.get("bf_width", 0)))
+        args.rel_strength = bool(nc0.get("rel_strength", args.rel_strength))
     net = FullAggNet(
         dim=args.dim, num_conv=args.num_conv, iterations=args.iterations,
-        bf_width=bf_width,
+        bf_width=bf_width, rel_strength=args.rel_strength,
     )
     # the BF width is part of the trained forward: checkpoints carry it so
     # evaluators reconstruct the exact architecture instead of re-deriving
     # a (possibly smaller) width from the eval split
     net_config = dict(dim=args.dim, num_conv=args.num_conv,
-                      iterations=args.iterations, bf_width=bf_width)
+                      iterations=args.iterations, bf_width=bf_width,
+                      rel_strength=args.rel_strength)
     A0 = jax.tree_util.tree_map(lambda x: x[0], train_buckets[0].A)
     params = net.init(jax.random.PRNGKey(args.seed), A0, train_buckets[0].k)
     if start_ck:

@@ -120,7 +120,10 @@ class AggBinarizationLayer(nn.Module):
 
     @nn.compact
     def __call__(self, g: GraphData, x: jax.Array, k: int, pad=None):
-        ew = g.edge_attr[:, 0]
+        # conv weights: last edge feature — |a_ij| normally, the
+        # row-normalized strength when rel_strength is on (scale-invariant
+        # anisotropy signal; identical to [:, 0] with a 1-feature graph)
+        ew = g.edge_attr[:, -1]
         for i in range(self.num_conv):
             out_dim = self.dim
             head = 1 if i == self.num_conv - 1 else self.dim
@@ -168,6 +171,11 @@ class FullAggNet(nn.Module):
     # the push form's per-sweep segment_min scatter dominates the whole
     # forward on TPU.  None falls back to push mode.
     bf_width: Optional[int] = None
+    # append the row-normalized strength edge feature to the AggNet/CNet
+    # input graph (see graphdata.graph_from_matrix_basic) — scale-invariant
+    # strong-direction signal for anisotropic operators.  Changes parameter
+    # shapes; recorded in checkpoint net_config.
+    rel_strength: bool = False
 
     def setup(self):
         self.PNet = MPNN(self.dim, num_internal_conv=4, input_edge_features=2)
@@ -179,8 +187,14 @@ class FullAggNet(nn.Module):
             return bellman_ford_pull(C, centers, width=self.bf_width)
         return bellman_ford(C, centers)
 
+    def basic_graph(self, A: CSR, n_real=None):
+        return graph_from_matrix_basic(
+            A, n_real=n_real, ell_width=self.bf_width,
+            rel_strength=self.rel_strength,
+        )
+
     def agg_only(self, A: CSR, k: int):
-        g = graph_from_matrix_basic(A, ell_width=self.bf_width)
+        g = self.basic_graph(A)
         node_mask, scores = self.AggNetM(g, k)
         centers = topk_indices(scores, k)
         _, bf_edges = self.CNet(g)
@@ -204,7 +218,7 @@ class FullAggNet(nn.Module):
         """
         n = A.shape[0]
         n_real = None if pad is None else pad[0]
-        g = graph_from_matrix_basic(A, n_real=n_real, ell_width=self.bf_width)
+        g = self.basic_graph(A, n_real=n_real)
 
         # 1. node scores -> centers
         node_mask, scores = self.AggNetM(g, k, pad=pad)
@@ -233,6 +247,7 @@ class AggOnlyNet(nn.Module):
     num_conv: int = 6
     iterations: int = 2
     bf_width: Optional[int] = None  # see FullAggNet.bf_width
+    rel_strength: bool = False  # see FullAggNet.rel_strength
 
     def setup(self):
         self.AggNetM = AggNet(self.dim, iterations=self.iterations, num_conv=self.num_conv)
@@ -242,7 +257,8 @@ class AggOnlyNet(nn.Module):
         from mlamg_tpu.mg.interp import smoothed_aggregation
 
         g = graph_from_matrix_basic(
-            A, n_real=None if pad is None else pad[0], ell_width=self.bf_width
+            A, n_real=None if pad is None else pad[0], ell_width=self.bf_width,
+            rel_strength=self.rel_strength,
         )
         node_mask, scores = self.AggNetM(g, k, pad=pad)
         centers = topk_indices(scores, k)

@@ -111,12 +111,31 @@ def build_in_ell(row: jax.Array, col: jax.Array, n: int, width: int) -> jax.Arra
     )
 
 
-def graph_from_matrix_basic(A: CSR, n_real=None, ell_width=None) -> GraphData:
-    """Node features 1/n, edge feature |a_ij| (reference data.py:39-46)."""
+def graph_from_matrix_basic(A: CSR, n_real=None, ell_width=None,
+                            rel_strength: bool = False) -> GraphData:
+    """Node features 1/n, edge feature |a_ij| (reference data.py:39-46).
+
+    ``rel_strength`` appends a second, scale-invariant edge feature
+    |a_ij| / max_j' |a_ij'| (classic row-normalized strength of connection):
+    on anisotropic operators whose off-diagonals span orders of magnitude
+    the raw |a_ij| is badly conditioned as a GNN input, while the relative
+    strength directly encodes which neighbours are strong regardless of the
+    operator's scaling.  Changes parameter shapes — record the flag in
+    checkpoints (cli net_config)."""
     n = A.shape[0]
     x, mask = _node_init(n, n_real, A.data.dtype)
-    attr = jnp.abs(A.data)[:, None]
-    attr = jnp.where(A.mask[:, None], attr, 0.0)
+    absa = jnp.where(A.mask, jnp.abs(A.data), 0.0)
+    if rel_strength:
+        rsafe = jnp.minimum(A.row, n - 1)
+        offdiag = jnp.where(rsafe == A.col, 0.0, absa)
+        rowmax = jax.ops.segment_max(
+            offdiag, rsafe, num_segments=n, indices_are_sorted=True
+        )
+        rel = absa / jnp.maximum(rowmax[rsafe], 1e-30)
+        rel = jnp.where(A.mask & (rsafe != A.col), rel, 0.0)
+        attr = jnp.stack([absa, rel], axis=1)
+    else:
+        attr = absa[:, None]
     in_ell = (
         None if ell_width is None else build_in_ell(A.row, A.col, n, ell_width)
     )

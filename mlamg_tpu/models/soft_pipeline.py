@@ -124,7 +124,8 @@ def _soft_parts(mdl, A: CSR, k: int, pad=None):
     *feature*, not a learned quantity).
     """
     n_real = None if pad is None else pad[0]
-    g = graph_from_matrix_basic(A, n_real=n_real)
+    g = graph_from_matrix_basic(A, n_real=n_real,
+                                rel_strength=mdl.rel_strength)
     _, scores = mdl.AggNetM(g, k, pad=pad)
     centers = topk_indices(scores, k)
     _, bf_edges = mdl.CNet(g)
