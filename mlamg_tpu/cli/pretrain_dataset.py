@@ -122,7 +122,7 @@ def main(argv=None):
     opt_state = opt.init(params)
 
     def heads(mdl, A, k, agg_id):
-        g = graph_from_matrix_basic(A)
+        g = graph_from_matrix_basic(A, rel_strength=mdl.rel_strength)
         _, scores = mdl.AggNetM(g, k)
         _, bf_edges = mdl.CNet(g)
         g2 = graph_from_matrix(A, agg_id)

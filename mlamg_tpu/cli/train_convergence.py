@@ -31,19 +31,23 @@ def _logit(y, eps=1e-4):
     return float(np.log(y / (1.0 - y)))
 
 
-def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
-    """[(A CSR, node_feats (n,6), conv label)] labeled splittings.
+def build_samples(grids, alpha: float, per_grid: int, seed: int = 0,
+                  vary_alpha: bool = True):
+    """[(A CSR, node_feats (n,8), conv label)] labeled splittings.
 
     Three quality regimes per grid — Lloyd aggregation (good), random-seed
     Bellman-Ford (mediocre), and Lloyd *corrupted* by reassigning a random
-    fraction p in (0, 0.6] of nodes to a neighbour's aggregate (bad, with
+    fraction p in (0, 0.8] of nodes to a neighbour's aggregate (bad, with
     conv degrading continuously in p) — so the labels span a real range;
     a Lloyd-only dataset has so little conv variance that the regression
-    optimum is the constant mean (the round-3 failure mode).  Node
+    optimum is the constant mean (the round-3 failure mode).  With
+    ``vary_alpha`` each splitting also draws its coarsening ratio from
+    U(0.05, 0.3) — the single strongest determinant of the conv factor —
+    and the ratio k/n is exposed as a (constant) node feature.  Node
     features describe the splitting the way the reference's MeshDataset
     does (C/F indicator) plus aggregate geometry the conv factor actually
     depends on: distance-to-center, aggregate size, local diagonal/degree
-    scale.
+    scale, boundary-crossing fraction.
     """
     from mlamg_tpu.train import GridBundle, SolveOptions, measured_conv
     from mlamg_tpu.graph.lloyd import lloyd_aggregation
@@ -56,30 +60,34 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
     key = jax.random.PRNGKey(seed)
     rng = np.random.RandomState(seed + 1)
     for g in grids:
-        b = GridBundle.from_grid(g, alpha)
-        n = b.A.shape[0]
+        b0 = GridBundle.from_grid(g, alpha)
+        n = b0.A.shape[0]
         A_sp = g.A.tocsr()
         A_sp_host = A_sp
-        C = strength_measure(b.A, "abs", width=b.width)
-        deg = np.diff(np.asarray(b.A.indptr)).astype(np.float32)
-        diag = np.asarray(b.A.diagonal(), np.float32)
+        C = strength_measure(b0.A, "abs", width=b0.width)
+        deg = np.diff(np.asarray(b0.A.indptr)).astype(np.float32)
+        diag = np.asarray(b0.A.diagonal(), np.float32)
         diag_f = diag / max(np.abs(diag).mean(), 1e-30)
         deg_f = deg / max(deg.mean(), 1e-30)
         for j in range(per_grid):
+            # quantized ratio grid: every distinct (n, k) pair compiles its
+            # own XLA program, so a continuous draw would compile per sample
+            a_j = rng.choice([0.05, 0.1, 0.15, 0.2, 0.25, 0.3]) if vary_alpha else alpha
+            b = GridBundle.from_grid(g, a_j) if vary_alpha else b0
             key, sub = jax.random.split(key)
             if j % 3 == 0:
-                agg_id, roots, _ = lloyd_aggregation(C, ratio=alpha, key=sub)
+                agg_id, roots, _ = lloyd_aggregation(C, ratio=a_j, key=sub)
                 dist, _ = bellman_ford(C, roots)
             elif j % 3 == 1:
                 roots = jax.random.permutation(sub, n)[: b.k].astype(jnp.int32)
                 dist, nearest = bellman_ford(C, roots)
                 agg_id = nearest_center_to_agg(roots, nearest)
             else:
-                agg_id, roots, _ = lloyd_aggregation(C, ratio=alpha, key=sub)
+                agg_id, roots, _ = lloyd_aggregation(C, ratio=a_j, key=sub)
                 dist, _ = bellman_ford(C, roots)
                 # corrupt: each selected node adopts a random neighbour's
                 # aggregate — conv degrades continuously with p
-                p = rng.uniform(0.05, 0.6)
+                p = rng.uniform(0.05, 0.8)
                 agg = np.asarray(agg_id).copy()
                 hit = rng.rand(n) < p
                 for i in np.nonzero(hit)[0]:
@@ -88,12 +96,14 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
                     if nbrs.size:
                         agg[i] = agg[rng.choice(nbrs)]
                 agg_id = jnp.asarray(agg)
-            P = sa_interpolation_dense(b.A, agg_id, b.k)
+            k_j = int(np.asarray(roots).shape[0]) if j % 3 == 1 else b.k
+            k_j = max(k_j, int(np.asarray(agg_id).max()) + 1)
+            P = sa_interpolation_dense(b.A, agg_id, k_j)
             conv = float(measured_conv(b.A, P, b.x0, opts))
             is_center = np.zeros(n, np.float32)
             is_center[np.asarray(roots)] = 1.0
             agg = np.asarray(agg_id)
-            sizes = np.bincount(agg, minlength=b.k).astype(np.float32)
+            sizes = np.bincount(agg, minlength=k_j).astype(np.float32)
             size_f = sizes[agg] / max(sizes.mean(), 1e-30)
             d = np.asarray(dist, np.float32)
             d = np.where(np.isfinite(d), d, 0.0)
@@ -109,6 +119,7 @@ def build_samples(grids, alpha: float, per_grid: int, seed: int = 0):
             feats = np.stack(
                 [
                     np.full(n, 1.0 / n, np.float32),
+                    np.full(n, k_j / n, np.float32),  # coarsening ratio
                     is_center,
                     dist_f,
                     size_f,
@@ -139,6 +150,11 @@ def main(argv=None):
                    help="regress logit(conv) with a linear head instead of "
                         "conv with a sigmoid head (avoids saturation at "
                         "conv ~ 1)")
+    p.add_argument("--vary-alpha", type=parse_bool, default=True,
+                   help="draw each splitting's coarsening ratio from "
+                        "U(0.05, 0.3) and expose k/n as a node feature")
+    p.add_argument("--scatter-png", type=str, default=None,
+                   help="write a measured-vs-predicted scatter plot here")
     p.add_argument("--cache-samples", type=str, default=None,
                    help="npz path: reuse previously built labeled splittings "
                         "(building them — hundreds of measured two-level "
@@ -170,7 +186,8 @@ def main(argv=None):
                  float(label))
             )
     else:
-        samples = build_samples(grids, args.alpha, args.per_grid, args.seed)
+        samples = build_samples(grids, args.alpha, args.per_grid, args.seed,
+                                vary_alpha=args.vary_alpha)
         if args.cache_samples:
             raw = np.asarray(
                 [(s0.to_scipy().tocsr(), np.asarray(f), l)
@@ -218,7 +235,7 @@ def main(argv=None):
         z = net.apply(params, graph_from_matrix_node_vals(A, feats))
         return jax.nn.sigmoid(z) if args.logit_space else z
 
-    def evaluate(idx):
+    def evaluate(idx, return_arrays: bool = False):
         preds, labels = [], []
         for i in idx:
             A, feats, label = samples[i]
@@ -230,6 +247,8 @@ def main(argv=None):
             corr = float(np.corrcoef(preds, labels)[0, 1])
         else:
             corr = float("nan")
+        if return_arrays:
+            return mse, corr, preds, labels
         return mse, corr
 
     best = (-np.inf, None)  # (val corr, params) — early-stopping selection
@@ -254,12 +273,30 @@ def main(argv=None):
 
     if best[1] is not None:
         params = best[1]
-    mse, corr = evaluate(test_idx)
+    mse, corr, preds, labels = evaluate(test_idx, return_arrays=True)
     val_mse, val_corr = evaluate(val_idx)
     result = {"test_mse": mse, "test_corr": corr,
               "val_mse": val_mse, "val_corr": val_corr,
               "n_train": len(train_idx), "n_val": len(val_idx),
-              "n_test": len(test_idx)}
+              "n_test": len(test_idx),
+              "scatter": {"pred": np.round(preds, 5).tolist(),
+                          "label": np.round(labels, 5).tolist()}}
+    if args.scatter_png:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(5, 5))
+        ax.scatter(labels, preds, s=12, alpha=0.7)
+        lim = [min(labels.min(), preds.min()), max(labels.max(), preds.max())]
+        ax.plot(lim, lim, "k--", lw=1)
+        ax.set_xlabel("measured conv factor")
+        ax.set_ylabel("predicted conv factor")
+        ax.set_title(f"test r = {corr:.3f} (n = {len(labels)})")
+        fig.tight_layout()
+        fig.savefig(args.scatter_png, dpi=120)
+        print(f"scatter plot -> {args.scatter_png}")
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

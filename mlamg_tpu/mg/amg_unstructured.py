@@ -330,6 +330,7 @@ def build_unstructured_hierarchy(
     fmt: str | None = None,
     block_rows: int = 8,
     verbose: bool = False,
+    profile_out: dict | None = None,
 ):
     """SA multilevel setup for a (symmetric) scipy operator at scale.
 
@@ -358,11 +359,20 @@ def build_unstructured_hierarchy(
             "(the factored restriction applies A in place of A^T)"
         )
 
+    import time as _time
+
+    prof: dict = {}
+
+    def _tick(label, t0):
+        prof[label] = prof.get(label, 0.0) + (_time.time() - t0)
+        return _time.time()
+
     key = jax.random.PRNGKey(seed)
     levels = []
     perm0 = None
     level_A = A_sp
     for lvl in range(max_levels - 1):
+        t = _time.time()
         n = level_A.shape[0]
         # RCM-order this level (fine level: enables the windowed kernel;
         # coarse levels: keeps aggregate numbering banded for the next one)
@@ -380,6 +390,7 @@ def build_unstructured_hierarchy(
                 prev, agg=jnp.asarray(inv[np.asarray(prev.agg)], jnp.int32)
             )
 
+        t = _tick("rcm_reorder", t)
         a_width = int(np.diff(level_A.indptr).max())
         A_dev = CSR.from_scipy(level_A, dtype=jnp.float32)
         d = np.asarray(level_A.diagonal())
@@ -403,7 +414,8 @@ def build_unstructured_hierarchy(
             agg_id, _, _ = lloyd_aggregation(
                 C, ratio=alpha, maxiter=lloyd_maxiter, key=sub
             )
-        agg = np.asarray(agg_id).copy()
+        agg = np.asarray(agg_id).copy()  # device sync point
+        t = _tick("strength_lloyd", t)
         un = agg >= k
         if un.any():
             # nodes unreachable from every seed (isolated by Galerkin
@@ -448,9 +460,11 @@ def build_unstructured_hierarchy(
             A_dev, jnp.asarray(agg, jnp.int32), k, omega=omegas[0]
         )
 
+        t = _tick("sa_omegas", t)
         Ppat, APpat, AHpat = galerkin_patterns(
             level_A, agg, k, smooth_steps=smooth_steps
         )
+        t = _tick("patterns_host", t)
         if smooth_steps == 1:
             P_dev = P1
             p_width = a_width
@@ -511,6 +525,8 @@ def build_unstructured_hierarchy(
                 P_dev = APj.with_data(data)
                 pat_j = pat_next
             p_width = int(np.diff(pat_j.indptr).max())
+        jax.block_until_ready(P_dev.data)
+        t = _tick("p_smooth", t)
 
         pt_width = int(
             np.bincount(agg[level_A.tocoo().col], minlength=k).max()
@@ -536,11 +552,14 @@ def build_unstructured_hierarchy(
             Psp = P_dev.to_scipy().tocsr()
             Psp.sum_duplicates()
             AH_sp = (Psp.T @ level_A @ Psp).tocsr()
+        t = _tick("rap", t)
         AH_sp.sum_duplicates()
         AH_sp.eliminate_zeros()
         AH_sp = truncate_lump(AH_sp, trunc_theta)
+        t = _tick("truncate", t)
 
         op = _level_operator(level_A, fmt, block_rows)
+        t = _tick("repack", t)
         levels.append(
             ULevel(op, Dinv, jnp.asarray(agg, jnp.int32), omegas, lmax, k)
         )
@@ -553,9 +572,16 @@ def build_unstructured_hierarchy(
             )
         level_A = AH_sp
 
+    t = _time.time()
     coarse = CoarseSolver.factor(
         jnp.asarray(level_A.toarray(), jnp.float32), method=coarse_method
     )
+    _tick("coarse_factor", t)
+    if profile_out is not None:
+        profile_out.update({k_: round(v, 3) for k_, v in prof.items()})
+    if verbose:
+        print(f"setup profile (s): {dict(sorted(prof.items(), key=lambda kv: -kv[1]))}",
+              flush=True)
     return UHierarchy(tuple(levels), coarse), perm0
 
 

@@ -187,19 +187,25 @@ Agg = Union[BoxAgg2D, AggOp]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["S", "St", "T"],
+    data_fields=["Ss", "Sts", "T"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class FactoredSA:
-    """P = S · T applied by its factors (never materialized).
+    """P = S_s ··· S_1 · T applied by its factors (never materialized).
 
-    ``S`` is the Jacobi smoother (I - omega D^-1 A) in A's format, ``St``
-    its precomputed transpose (so restriction is also a *forward* SpMV on
-    the fast path), ``T`` the aggregation operator."""
+    Each ``Ss[i]`` is a Jacobi-type smoothing factor (I - w_i D^-1 A) in
+    A's format, ``Sts[i]`` its precomputed transpose (so restriction is
+    also a *forward* SpMV on the fast path), ``T`` the aggregation
+    operator.  One factor is the classic SA prolongator; several factors
+    give the Chebyshev-smoothed prolongator (product = the minimax
+    polynomial over the smoothed band), trading s extra SpMVs per
+    interp/restrict for substantially stronger coarse-grid correction —
+    the factors commute (all polynomials in D^-1 A), so application order
+    is free."""
 
-    S: object  # DIA / CSR / ELL
-    St: object
+    Ss: Tuple  # DIA / CSR / ELL factors
+    Sts: Tuple
     T: Agg
 
     @property
@@ -208,21 +214,35 @@ class FactoredSA:
 
     @property
     def dtype(self):
-        return self.S.data.dtype
+        return self.Ss[0].data.dtype
+
+    @property
+    def smooth_steps(self) -> int:
+        return len(self.Ss)
 
     def interp(self, e: jax.Array) -> jax.Array:
-        return matmul.spmv(self.S, self.T.interp(e))
+        u = self.T.interp(e)
+        for S in self.Ss:
+            u = matmul.spmv(S, u)
+        return u
 
     def restrict(self, r: jax.Array) -> jax.Array:
-        return self.T.restrict(matmul.spmv(self.St, r))
+        for St in self.Sts:
+            r = matmul.spmv(St, r)
+        return self.T.restrict(r)
 
     def interp_mm(self, E: jax.Array) -> jax.Array:
         """(n, c) = P @ E for a dense (k, c) block (setup-time)."""
-        return matmul.spmm(self.S, self.T.interp(E))
+        U = self.T.interp(E)
+        for S in self.Ss:
+            U = matmul.spmm(S, U)
+        return U
 
     def restrict_mm(self, V: jax.Array) -> jax.Array:
         """(k, c) = P.T @ V for a dense (n, c) block (setup-time)."""
-        return self.T.restrict(matmul.spmm(self.St, V))
+        for St in self.Sts:
+            V = matmul.spmm(St, V)
+        return self.T.restrict(V)
 
     def densify(self) -> jax.Array:
         """Dense (n, k) P — tests/small problems only."""
@@ -240,30 +260,60 @@ def _csr_jacobi_smoother(A: CSR, Dinv: jax.Array, omega) -> CSR:
     return CSR(data, A.row, A.col, A.indptr, A.shape, A.nnz)
 
 
-def factored_sa(A, T: Agg, omega=None, power_iters: int = 30) -> FactoredSA:
+def factored_sa(A, T: Agg, omega=None, power_iters: int = 30,
+                smooth_steps: int = 1, lmax=None) -> FactoredSA:
     """Build the factored SA prolongator for A and an aggregation operator.
 
-    Numerically identical to ``sa_interpolation_dense(A, T.agg_id, T.k)``
-    (same omega default: (4/3)/rho(D^-1 A) by power iteration)."""
+    With ``smooth_steps == 1`` (default) this is numerically identical to
+    ``sa_interpolation_dense(A, T.agg_id, T.k)`` (same omega default:
+    (4/3)/rho(D^-1 A) by power iteration).  With s > 1 the weights are the
+    inverse Chebyshev roots over [lmax/15, lmax] (the same band the cycle
+    smoother targets), so prod_i (1 - w_i t) is the minimax degree-s
+    polynomial with p(0) = 1 — the Chebyshev-smoothed prolongator.
+    ``omega`` may also be an explicit sequence of weights."""
+    import numpy as _np
+
     from mlamg_tpu.mg.interp import sa_omega
 
     d = A.diagonal()
     Dinv = 1.0 / jnp.where(d != 0, d, 1.0)
     if omega is None:
-        omega = sa_omega(A, Dinv, iters=power_iters)
-    if isinstance(A, DIA):
-        S = dia_jacobi_operator(A, Dinv, omega)
-        if S is None:  # no stored main diagonal: fall back to CSR
-            S = _csr_jacobi_smoother(
-                CSR.from_scipy(A.to_scipy()), Dinv, omega
-            )
-            St = matmul.transpose(S)
+        if smooth_steps == 1:
+            omegas = [sa_omega(A, Dinv, iters=power_iters)]
         else:
-            St = dia_transpose(S)
+            if lmax is None:
+                lmax = (4.0 / 3.0) / sa_omega(A, Dinv, iters=power_iters)
+            a_b, b_b = lmax / 15.0, lmax
+            ang = (
+                (2.0 * _np.arange(1, smooth_steps + 1) - 1)
+                / (2.0 * smooth_steps) * _np.pi
+            )
+            roots = (a_b + b_b) / 2.0 + (b_b - a_b) / 2.0 * jnp.asarray(
+                _np.cos(ang), jnp.float32
+            )
+            omegas = list(1.0 / roots)
+    elif _np.ndim(omega) == 0:
+        omegas = [omega] * smooth_steps if smooth_steps > 1 else [omega]
     else:
-        S = _csr_jacobi_smoother(A, Dinv, omega)
-        St = matmul.transpose(S)
-    return FactoredSA(S, St, T)
+        omegas = list(omega)
+
+    Ss, Sts = [], []
+    for w in omegas:
+        if isinstance(A, DIA):
+            S = dia_jacobi_operator(A, Dinv, w)
+            if S is None:  # no stored main diagonal: fall back to CSR
+                S = _csr_jacobi_smoother(
+                    CSR.from_scipy(A.to_scipy()), Dinv, w
+                )
+                St = matmul.transpose(S)
+            else:
+                St = dia_transpose(S)
+        else:
+            S = _csr_jacobi_smoother(A, Dinv, w)
+            St = matmul.transpose(S)
+        Ss.append(S)
+        Sts.append(St)
+    return FactoredSA(tuple(Ss), tuple(Sts), T)
 
 
 def coarse_operator_factored(A, P: FactoredSA, block: int = 128) -> jax.Array:

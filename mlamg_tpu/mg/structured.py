@@ -51,12 +51,13 @@ def dia_galerkin_probe(A: DIA, P: FactoredSA) -> DIA:
     ncy, ncx = ny // sy, nx // sx
     k = ncy * ncx
 
-    # fine reach of S^T A S per axis (S shares A's offsets)
+    # fine reach of S^s^T A S^s per axis (each S factor shares A's offsets)
     disp = _decompose_offsets(A.offsets, nx)
     ry = max((abs(dy) for dy, _ in disp), default=0)
     rx = max((abs(dx) for _, dx in disp), default=0)
-    Ry = -(-3 * ry // sy)  # ceil: S^T A S reach, then box-coarsened
-    Rx = -(-3 * rx // sx)
+    s = P.smooth_steps
+    Ry = -(-(2 * s + 1) * ry // sy)  # ceil: S^s^T A S^s reach, box-coarsened
+    Rx = -(-(2 * s + 1) * rx // sx)
     # Linearized offsets Dy*ncx + Dx are only unique (and probe colors only
     # non-aliasing) when the coarse grid exceeds the stencil reach per axis;
     # a narrower grid would double-count duplicate diagonals in later spmv.
@@ -121,6 +122,7 @@ def build_structured_hierarchy(
     min_coarse: int = 64,
     coarse_method: str = "inverse",
     block: bool = True,
+    smooth_steps=1,
 ) -> Hierarchy:
     """All-DIA hierarchy for a stencil operator on an (ny, nx) grid.
 
@@ -128,6 +130,13 @@ def build_structured_hierarchy(
     the grid no longer divides or k <= min_coarse.  Every prolongator is
     factored (never materialized) and every coarse operator is recovered
     by colored probing — the setup is a fixed number of streaming passes.
+
+    ``smooth_steps``: prolongator smoothing factors per level (int, or a
+    per-level tuple like ``sides``).  Two factors on the fine level
+    (Chebyshev-root weights, see ``factored_sa``) substantially improve
+    the coarse-grid correction of large box aggregates at the cost of one
+    extra SpMV per interp/restrict; coarse stencils widen accordingly
+    (probe reach (2s+1)r).
     """
     from mlamg_tpu.ops.pallas_kernels import blocked_dia
 
@@ -137,28 +146,36 @@ def build_structured_hierarchy(
     lmaxs = []
     cy, cx = ny, nx
     level_A = A
-    for side in sides:
+    steps = (
+        tuple(smooth_steps) if np.ndim(smooth_steps) else
+        (int(smooth_steps),) * len(sides)
+    )
+    for side, s_l in zip(sides, steps):
         sy = sx = side
         if cy % sy or cx % sx or (cy // sy) * (cx // sx) <= min_coarse:
             break
-        P = factored_sa(level_A, BoxAgg2D(ny=cy, nx=cx, sy=sy, sx=sx), omega=omega)
-        try:
-            A_next = dia_galerkin_probe(level_A, P)
-        except ValueError:
-            break  # coarse grid too narrow for the stencil reach — stop here
         d = level_A.diagonal()
         Dinv_l = 1.0 / jnp.where(d != 0, d, 1.0)
-        Dinvs.append(Dinv_l)
         # Gershgorin bound of D^-1 A (rigorous; a power iteration's
         # underestimate can put the true lmax outside the Chebyshev
         # interval and diverge the smoother)
-        absrow = jnp.zeros_like(d)
         dat = level_A.data
         if dat.ndim == 3:
             absrow = jnp.sum(jnp.abs(dat), axis=0).reshape(-1)
         else:
             absrow = jnp.sum(jnp.abs(dat), axis=0)
-        lmaxs.append(jnp.max(absrow * jnp.abs(Dinv_l)))
+        lmax_l = jnp.max(absrow * jnp.abs(Dinv_l))
+        P = factored_sa(
+            level_A, BoxAgg2D(ny=cy, nx=cx, sy=sy, sx=sx),
+            omega=None if s_l > 1 else omega,
+            smooth_steps=s_l, lmax=lmax_l,
+        )
+        try:
+            A_next = dia_galerkin_probe(level_A, P)
+        except ValueError:
+            break  # coarse grid too narrow for the stencil reach — stop here
+        Dinvs.append(Dinv_l)
+        lmaxs.append(lmax_l)
         cy, cx = cy // sy, cx // sx
         if block and jax.default_backend() == "tpu" and (cy * cx) % 128 == 0:
             A_next = blocked_dia(A_next)
