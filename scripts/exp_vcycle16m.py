@@ -39,17 +39,18 @@ def main():
     b = jnp.zeros(n, jnp.float32)
 
     configs = [
-        dict(sides=(8, 8), nu=3),
-        dict(sides=(4, 4, 4), nu=2),
-        dict(sides=(4, 4, 4), nu=1),
-        dict(sides=(4, 8, 8), nu=2),
+        dict(sides=(4, 4, 4), nu=2, smooth_steps=(2, 1, 1)),
+        dict(sides=(4, 4, 4), nu=2, smooth_steps=(2, 2, 2)),
+        dict(sides=(4, 4, 4), nu=1, smooth_steps=(2, 2, 2)),
+        dict(sides=(8, 8), nu=2, smooth_steps=(2, 2)),
     ]
     out = []
     for cfg in configs:
         t0 = time.time()
         try:
             h = build_structured_hierarchy(
-                Ad, nx, nx, sides=cfg["sides"], min_coarse=256
+                Ad, nx, nx, sides=cfg["sides"], min_coarse=256,
+                smooth_steps=cfg.get("smooth_steps", 1),
             )
         except Exception as e:
             print(json.dumps({**cfg, "error": str(e)}), flush=True)
