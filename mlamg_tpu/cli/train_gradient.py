@@ -66,6 +66,14 @@ def main(argv=None):
                    help="anneal assignment temperature to this value "
                         "(exponential in step; default: no annealing)")
     p.add_argument("--topk-sigma", type=float, default=0.5)
+    p.add_argument("--weight-noise", type=float, default=0.0,
+                   help="relative Gaussian parameter noise per step (e.g. "
+                        "0.01): optimizes the expected soft loss under "
+                        "perturbation, preferring flat minima whose "
+                        "discrete top-k/BF decisions keep a margin — the "
+                        "measured conv of the hard pipeline is chaotic in "
+                        "the weights, so sharp minima do not transfer "
+                        "across platforms/compilation modes")
     p.add_argument("--ridge", type=float, default=1e-4)
     p.add_argument("--test-vectors", type=int, default=16)
     p.add_argument("--num-loops", type=int, default=5)
@@ -232,10 +240,19 @@ def main(argv=None):
     )
     opt_state = opt.init(vec)
 
+    wn_scale = (
+        float(jnp.sqrt(jnp.mean(vec ** 2))) * args.weight_noise
+        if args.weight_noise else 0.0
+    )
+
     step_fns = []
     for bi, b in enumerate(train_buckets):
         @jax.jit
-        def step_grad(vec, tau, bi=bi, b=b):
+        def step_grad(vec, tau, nkey, bi=bi, b=b):
+            if wn_scale:
+                vec = vec + wn_scale * jax.random.normal(
+                    nkey, vec.shape, vec.dtype
+                )
             return jax.value_and_grad(bucket_loss)(
                 vec, b, tvs_by_bucket[bi], ref_by_bucket[bi], tau
             )
@@ -274,11 +291,12 @@ def main(argv=None):
     import time
 
     t0 = time.time()
+    nkey0 = jax.random.PRNGKey(args.seed * 31 + 17)
     for it in range(args.steps):
         tau = tau_at(it)
         loss_tot, g_tot = 0.0, None
         for bi in range(len(train_buckets)):
-            l, g = step_fns[bi](vec, tau)
+            l, g = step_fns[bi](vec, tau, jax.random.fold_in(nkey0, it * 131 + bi))
             w = float(weights[bi])
             loss_tot += w * float(l)
             g_tot = g * w if g_tot is None else g_tot + g * w
