@@ -39,10 +39,11 @@ def main():
     b = jnp.zeros(n, jnp.float32)
 
     configs = [
-        dict(sides=(4, 4, 4), nu=2, smooth_steps=(2, 1, 1)),
-        dict(sides=(4, 4, 4), nu=2, smooth_steps=(2, 2, 2)),
-        dict(sides=(4, 4, 4), nu=1, smooth_steps=(2, 2, 2)),
-        dict(sides=(8, 8), nu=2, smooth_steps=(2, 2)),
+        dict(sides=(4, 4, 4), nu=2, gamma=2, smooth_steps=(2, 1, 1),
+             block=False),
+        dict(sides=(4, 4, 4), nu=2, smooth_steps=(2, 1, 1), block=False),
+        dict(sides=(4, 4, 4), nu=2, gamma=2),
+        dict(sides=(4, 4, 4), nu=1, gamma=2),
     ]
     out = []
     for cfg in configs:
@@ -51,17 +52,19 @@ def main():
             h = build_structured_hierarchy(
                 Ad, nx, nx, sides=cfg["sides"], min_coarse=256,
                 smooth_steps=cfg.get("smooth_steps", 1),
+                block=cfg.get("block", True),
             )
         except Exception as e:
             print(json.dumps({**cfg, "error": str(e)}), flush=True)
             continue
         setup_s = time.time() - t0
         nu = cfg["nu"]
+        gamma = cfg.get("gamma", 1)
 
         @jax.jit
-        def conv_check(h, b, x0, nu=nu):
+        def conv_check(h, b, x0, nu=nu, gamma=gamma):
             def body(x, _):
-                x2 = vcycle(h, b, x, nu=nu, smoother="chebyshev")
+                x2 = vcycle(h, b, x, nu=nu, smoother="chebyshev", gamma=gamma)
                 return x2, jnp.linalg.norm(x2)
 
             _, norms = jax.lax.scan(body, x0, None, length=8)
@@ -71,9 +74,9 @@ def main():
         conv = float((norms[-1] / norms[1]) ** (1.0 / (len(norms) - 2)))
 
         @partial(jax.jit, static_argnames=("iters",))
-        def run(h, b, x0, iters, nu=nu):
+        def run(h, b, x0, iters, nu=nu, gamma=gamma):
             def body(i, x):
-                return vcycle(h, b, x, nu=nu, smoother="chebyshev")
+                return vcycle(h, b, x, nu=nu, smoother="chebyshev", gamma=gamma)
 
             return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
 
