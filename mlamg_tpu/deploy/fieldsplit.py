@@ -35,11 +35,21 @@ class SchurFieldsplitSolver:
         schur_pc: Callable,
         momentum_solver: Callable | None = None,
         dtype=jnp.float32,
+        momentum_bs: int | None = None,
     ):
         """``schur_pc(r_p) -> ~S^-1 r_p``; ``momentum_solver(r_u) -> ~F^-1 r_u``
-        (defaults to a dense LU of F)."""
+        (defaults to a dense LU of F).
+
+        ``momentum_bs``: store the velocity block F as BSR with this block
+        size (2/3 for 2-D/3-D vector dofs) — the PETSc-MatBSR role; one
+        index per bs x bs block and a batched-matmul SpMV."""
         self.sys = system
-        self.F = CSR.from_scipy(system.F, dtype=dtype)
+        if momentum_bs:
+            from mlamg_tpu.ops.bsr import BSR
+
+            self.F = BSR.from_scipy(system.F, bs=momentum_bs, dtype=dtype)
+        else:
+            self.F = CSR.from_scipy(system.F, dtype=dtype)
         self.B = CSR.from_scipy(system.B, dtype=dtype)
         self.n_u = system.n_u
         self.n_p = system.n_p

@@ -48,9 +48,13 @@ def _is_well(A):
 
 
 def spmv(A, x: jax.Array) -> jax.Array:
-    """y = A @ x for CSR/COO/ELL/DIA/WindowedELL (or dense) A, dense (n,) x."""
+    """y = A @ x for CSR/COO/ELL/DIA/BSR/WindowedELL (or dense) A, dense (n,) x."""
     if isinstance(A, jax.Array):
         return A @ x
+    if type(A).__name__ == "BSR":
+        from mlamg_tpu.ops.bsr import bsr_spmv
+
+        return bsr_spmv(A, x)
     if _is_well(A):
         from mlamg_tpu.ops.unstructured import well_spmv_pallas
 
