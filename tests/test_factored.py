@@ -177,7 +177,7 @@ def test_factored_blocked_dia_cpu_path():
     agg = box_agg_id(nx, side)
     Aop = blocked_dia(DIA.from_scipy(A, dtype=jnp.float32))
     Pf = factored_sa(Aop, BoxAgg2D(ny=nx, nx=nx, sy=side, sx=side), omega=0.65)
-    assert Pf.S.data.ndim == 3 and Pf.St.data.ndim == 3
+    assert Pf.Ss[0].data.ndim == 3 and Pf.Sts[0].data.ndim == 3
     P_dense = sa_interpolation_dense(
         DIA.from_scipy(A, dtype=jnp.float32), jnp.asarray(agg), Pf.shape[1], omega=0.65
     )
