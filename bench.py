@@ -194,11 +194,13 @@ def bench_vcycle_16m():
     A = (sp.kron(I, T) + sp.kron(T, I)).tocsr()
     n = A.shape[0]
     Ad = blocked_dia(DIA.from_scipy(A))
-    # sides (8, 8): the aggressive (16, 8) hierarchy is ~2x faster per
-    # cycle but its 256-node box aggregates DIVERGE as a standalone solver
-    # (factor ~2.26; round-3 masked this with an in-loop rescale) — the
-    # published number must be a convergent cycle
-    h = build_structured_hierarchy(Ad, nx, nx, sides=(8, 8), min_coarse=256)
+    # side-2 bilinear (geometric) levels: Galerkin stays a compact 9-point
+    # stencil at every level and conv reaches geometric-MG territory
+    # (0.146 measured) where the box-SA hierarchies saturated near 0.78
+    # (sides=(8,8) r4) or diverged (sides=(16,8) r3)
+    h = build_structured_hierarchy(
+        Ad, nx, nx, sides=(2,) * 7, min_coarse=900, kind="bilinear"
+    )
     x0 = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
     b = jnp.zeros(n, jnp.float32)
 
@@ -243,7 +245,7 @@ def bench_vcycle_16m():
         "nnz": int(A.nnz),
         "levels": h.num_levels + 1,
         "conv_factor": round(conv, 4),
-        "scheme": "all-DIA probed-Galerkin hierarchy, factored P, deg-3 Chebyshev",
+        "scheme": "all-DIA bilinear(side-2) probed-Galerkin hierarchy, deg-3 Chebyshev",
         "gnnz_per_s_fine_sweeps": round(4 * A.nnz / dt / 1e9, 3),
     }
 

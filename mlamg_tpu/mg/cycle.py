@@ -32,9 +32,9 @@ from mlamg_tpu.mg.smoothers import jacobi, chebyshev, multicolor_gauss_seidel
 
 
 def _is_factored(P):
-    from mlamg_tpu.mg.factored import FactoredSA
+    from mlamg_tpu.mg.factored import BilinearP2D, FactoredSA
 
-    return isinstance(P, FactoredSA)
+    return isinstance(P, (FactoredSA, BilinearP2D))
 
 
 def _interp(P, v):
@@ -326,7 +326,7 @@ def _level_spmv(A, x):
     return matmul.spmv(A, x)
 
 
-def vcycle(h: Hierarchy, b: jax.Array, x: jax.Array, *, omega: float = 0.666, nu: int = 1,
+def vcycle(h: Hierarchy, b: jax.Array, x: jax.Array, *, omega: float = 0.666, nu=1,
            smoother: str = "jacobi", lmin_frac: float = 1.0 / 15.0,
            gamma: int = 1):
     """One cycle through the hierarchy (static recursion depth).
@@ -334,6 +334,11 @@ def vcycle(h: Hierarchy, b: jax.Array, x: jax.Array, *, omega: float = 0.666, nu
     ``smoother="chebyshev"`` (requires ``h.lmaxs``) runs a degree-``nu+1``
     Chebyshev polynomial per pre/post smooth — substantially stronger than
     Jacobi for the aggressive box coarsening of the structured hierarchy.
+
+    ``nu`` may be an int (all levels) or a per-level sequence — the fine
+    level carries ~70% of a side-2 hierarchy's cycle cost, so e.g.
+    ``nu=(1, 2, 2, ...)`` trades a little convergence for a much cheaper
+    fine sweep.
 
     ``gamma=1`` is a V-cycle, ``gamma=2`` a W-cycle: with >=16x coarsening
     per level the W-cycle costs only ~1.2x a V-cycle (each coarse level is
@@ -343,6 +348,7 @@ def vcycle(h: Hierarchy, b: jax.Array, x: jax.Array, *, omega: float = 0.666, nu
     def descend(l, b, x):
         A = h.As[l]
         Dinv = h.Dinvs[l]
+        nu_l = nu if isinstance(nu, int) else nu[min(l, len(nu) - 1)]
 
         def smooth(x):
             if smoother == "chebyshev":
@@ -350,13 +356,13 @@ def vcycle(h: Hierarchy, b: jax.Array, x: jax.Array, *, omega: float = 0.666, nu
 
                 return chebyshev(
                     A, b, x, 1.1 * h.lmaxs[l], lmin_frac=lmin_frac,
-                    degree=nu + 1, Dinv=Dinv,
+                    degree=nu_l + 1, Dinv=Dinv,
                 )
 
             def body(_, x):
                 return x + omega * Dinv * (b - _level_spmv(A, x))
 
-            return jax.lax.fori_loop(0, nu, body, x)
+            return jax.lax.fori_loop(0, nu_l, body, x)
 
         x = smooth(x)
         r = b - _level_spmv(A, x)

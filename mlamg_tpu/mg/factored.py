@@ -187,6 +187,134 @@ Agg = Union[BoxAgg2D, AggOp]
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=[],
+    meta_fields=["ny", "nx"],
+)
+@dataclasses.dataclass(frozen=True)
+class BilinearP2D:
+    """Vertex-centered bilinear prolongator with side-2 coarsening.
+
+    Coarse node (jy, jx) sits on fine node (2*jy + 1, 2*jx + 1); the 1-D
+    stencil is [1/2, 1, 1/2] (odd fine nodes are injected, even fine nodes
+    average their two coarse neighbours, with the Dirichlet wall as zero).
+    This is classical geometric multigrid interpolation (the role the
+    reference delegates to pyamg's hierarchy on structured families,
+    ns/lib/multigrid.py:102-210): under Galerkin RAP a compact 9-point
+    stencil reproduces a compact 9-point stencil at *every* level — the
+    per-axis coarse reach is floor((r + 2) / 2), with fixed point r = 1 —
+    so the all-DIA hierarchy never widens and conv stays at geometric-MG
+    levels (~0.1) instead of the ~0.75 of aggressive box aggregation.
+
+    Both applications are separable strided slice/pad/add passes — zero
+    gathers, zero FLOP-heavy matmuls, pure streaming on the 2-D view.
+    """
+
+    ny: int
+    nx: int
+
+    def __post_init__(self):
+        if self.ny % 2 or self.nx % 2:
+            raise ValueError("BilinearP2D requires even grid sides")
+
+    @property
+    def ncy(self) -> int:
+        return self.ny // 2
+
+    @property
+    def ncx(self) -> int:
+        return self.nx // 2
+
+    @property
+    def n(self) -> int:
+        return self.ny * self.nx
+
+    @property
+    def k(self) -> int:
+        return self.ncy * self.ncx
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.k)
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    @staticmethod
+    def _interp_axis(E: jax.Array, axis: int) -> jax.Array:
+        """1-D interp along ``axis``: out[2j+1] = E[j], out[2j] = (E[j-1]+E[j])/2.
+
+        Implemented with axis-native slices and an interleaving
+        stack+reshape — no transposes (a moveaxis at the 4096^2 fine level
+        costs several full-array HBM copies per application)."""
+        m = E.shape[axis]
+        sl = [slice(None)] * E.ndim
+        sl[axis] = slice(None, -1)
+        pad = [(0, 0)] * E.ndim
+        pad[axis] = (1, 0)
+        left = jnp.pad(E[tuple(sl)], pad)
+        even = 0.5 * (left + E)
+        out = jnp.stack([even, E], axis=axis + 1)
+        return out.reshape(*E.shape[:axis], 2 * m, *E.shape[axis + 1 :])
+
+    @staticmethod
+    def _restrict_axis(V: jax.Array, axis: int) -> jax.Array:
+        """Transpose of :meth:`_interp_axis`: r[j] = V[2j+1] + (V[2j]+V[2j+2])/2."""
+        sl_even = [slice(None)] * V.ndim
+        sl_even[axis] = slice(0, None, 2)
+        sl_odd = [slice(None)] * V.ndim
+        sl_odd[axis] = slice(1, None, 2)
+        even = V[tuple(sl_even)]
+        odd = V[tuple(sl_odd)]
+        sl_next = [slice(None)] * V.ndim
+        sl_next[axis] = slice(1, None)
+        pad = [(0, 0)] * V.ndim
+        pad[axis] = (0, 1)
+        even_next = jnp.pad(even[tuple(sl_next)], pad)
+        return odd + 0.5 * (even + even_next)
+
+    def interp(self, e: jax.Array) -> jax.Array:
+        """P e: (k,) or (k, c) coarse vector to (n,) / (n, c) fine.
+
+        The optimization barriers pin a materialized 2-D canonical-layout
+        array at each flat<->grid boundary: the relayout copy is cheap
+        (HBM-bandwidth), while letting XLA fuse the interleave ops into
+        the flat (1-D-tiled) consumers generates catastrophic strided
+        code (measured 12.2 ms vs 1.2 ms for a fine-level restrict+interp
+        round trip at 4096^2 on v5e)."""
+        c_shape = e.shape[1:]
+        E = jax.lax.optimization_barrier(
+            e.reshape(self.ncy, self.ncx, *c_shape)
+        )
+        E = self._interp_axis(E, 0)
+        E = self._interp_axis(E, 1)
+        return jax.lax.optimization_barrier(E).reshape(self.n, *c_shape)
+
+    def restrict(self, v: jax.Array) -> jax.Array:
+        """P^T v: (n,) or (n, c) fine vector to (k,) / (k, c) coarse."""
+        c_shape = v.shape[1:]
+        V = jax.lax.optimization_barrier(
+            v.reshape(self.ny, self.nx, *c_shape)
+        )
+        V = self._restrict_axis(V, 0)
+        V = self._restrict_axis(V, 1)
+        return jax.lax.optimization_barrier(V).reshape(self.k, *c_shape)
+
+    # dense-block applications share the vector code path (trailing batch dim)
+    interp_mm = interp
+    restrict_mm = restrict
+
+    def densify(self) -> jax.Array:
+        """Dense (n, k) P — tests/small problems only."""
+        return self.interp(jnp.eye(self.k, dtype=jnp.float32))
+
+    def coarse_reach(self, ry: int, rx: int) -> Tuple[int, int]:
+        """Per-axis reach of P^T A P for a fine reach-(ry, rx) stencil."""
+        return (ry + 2) // 2, (rx + 2) // 2
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["Ss", "Sts", "T"],
     meta_fields=[],
 )

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mlamg_tpu.ops.matmul import spmv
+from mlamg_tpu.ops.matmul import spmv, spmv_affine
 
 
 def jacobi(A, b, x, Dinv=None, omega: float = 0.666, nu: int = 2):
@@ -60,7 +60,9 @@ def chebyshev(A, b, x, lmax, lmin_frac: float = 0.25, degree: int = 3, Dinv=None
     delta = (lmax - lmin) / 2.0
 
     def resid(x):
-        return Dinv * (b - spmv(A, x))
+        # b - A x as one fused streaming pass (the Dinv scale then fuses
+        # into the consumer's elementwise chain)
+        return Dinv * spmv_affine(A, x, c=b, alpha=-1.0)
 
     # Chebyshev acceleration (Saad, Iterative Methods, Alg. 12.1) applied to
     # the D^-1-preconditioned system.

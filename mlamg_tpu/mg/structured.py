@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from mlamg_tpu.ops.dia import DIA
-from mlamg_tpu.mg.factored import BoxAgg2D, FactoredSA, factored_sa
+from mlamg_tpu.mg.factored import BilinearP2D, BoxAgg2D, FactoredSA, factored_sa
 from mlamg_tpu.mg.coarse import CoarseSolver
 from mlamg_tpu.mg.cycle import Hierarchy
 
@@ -40,24 +40,33 @@ def _decompose_offsets(offsets, nx: int):
     return out
 
 
-def dia_galerkin_probe(A: DIA, P: FactoredSA) -> DIA:
+def dia_galerkin_probe(A: DIA, P) -> DIA:
     """Coarse Galerkin operator P^T A P as a DIA on the coarse grid.
 
-    ``P`` must be a factored SA prolongator over a :class:`BoxAgg2D`.
+    ``P`` is a :class:`FactoredSA` over a :class:`BoxAgg2D` (aggressive box
+    coarsening) or a :class:`BilinearP2D` (geometric side-2 coarsening).
     Jittable; setup-time cost is (2R+1)^2 applications of P^T A P."""
-    T = P.T
-    assert isinstance(T, BoxAgg2D), "probing requires a structured BoxAgg2D"
-    ny, nx, sy, sx = T.ny, T.nx, T.sy, T.sx
-    ncy, ncx = ny // sy, nx // sx
+    if isinstance(P, BilinearP2D):
+        ny, nx = P.ny, P.nx
+        ncy, ncx = P.ncy, P.ncx
+    else:
+        T = P.T
+        assert isinstance(T, BoxAgg2D), "probing requires a structured prolongator"
+        ny, nx = T.ny, T.nx
+        ncy, ncx = ny // T.sy, nx // T.sx
     k = ncy * ncx
 
-    # fine reach of S^s^T A S^s per axis (each S factor shares A's offsets)
+    # fine reach of P^T A P per axis (for FactoredSA each S factor shares
+    # A's offsets; for BilinearP2D the stencil support is 3 fine nodes/axis)
     disp = _decompose_offsets(A.offsets, nx)
     ry = max((abs(dy) for dy, _ in disp), default=0)
     rx = max((abs(dx) for _, dx in disp), default=0)
-    s = P.smooth_steps
-    Ry = -(-(2 * s + 1) * ry // sy)  # ceil: S^s^T A S^s reach, box-coarsened
-    Rx = -(-(2 * s + 1) * rx // sx)
+    if isinstance(P, BilinearP2D):
+        Ry, Rx = P.coarse_reach(ry, rx)
+    else:
+        s = P.smooth_steps
+        Ry = -(-(2 * s + 1) * ry // T.sy)  # ceil: S^s^T A S^s reach, box-coarsened
+        Rx = -(-(2 * s + 1) * rx // T.sx)
     # Linearized offsets Dy*ncx + Dx are only unique (and probe colors only
     # non-aliasing) when the coarse grid exceeds the stencil reach per axis;
     # a narrower grid would double-count duplicate diagonals in later spmv.
@@ -123,6 +132,8 @@ def build_structured_hierarchy(
     coarse_method: str = "inverse",
     block: bool = True,
     smooth_steps=1,
+    kind: str = "sa",
+    jit_probe: bool = True,
 ) -> Hierarchy:
     """All-DIA hierarchy for a stencil operator on an (ny, nx) grid.
 
@@ -131,14 +142,29 @@ def build_structured_hierarchy(
     factored (never materialized) and every coarse operator is recovered
     by colored probing — the setup is a fixed number of streaming passes.
 
+    ``kind="sa"`` (default) builds factored smoothed-aggregation
+    prolongators over ``sides[l]``-boxes.  ``kind="bilinear"`` builds
+    vertex-centered geometric side-2 bilinear prolongators
+    (:class:`BilinearP2D`); ``sides`` then only bounds the level count
+    (each entry must be 2) and ``smooth_steps``/``omega`` are ignored.
+    Galerkin under bilinear stays a compact 9-point stencil at every
+    level, so conv reaches geometric-MG territory (~0.1) where large-box
+    SA saturates near 0.75.
+
     ``smooth_steps``: prolongator smoothing factors per level (int, or a
     per-level tuple like ``sides``).  Two factors on the fine level
     (Chebyshev-root weights, see ``factored_sa``) substantially improve
     the coarse-grid correction of large box aggregates at the cost of one
     extra SpMV per interp/restrict; coarse stencils widen accordingly
     (probe reach (2s+1)r).
+
+    ``jit_probe`` wraps each level's Galerkin probe in one jitted program —
+    without it the probe's host loops dispatch hundreds of eager ops,
+    which over a network-attached device dominates the whole setup.
     """
     from mlamg_tpu.ops.pallas_kernels import blocked_dia
+
+    probe = jax.jit(dia_galerkin_probe) if jit_probe else dia_galerkin_probe
 
     As = [A]
     Ps = []
@@ -152,6 +178,8 @@ def build_structured_hierarchy(
     )
     for side, s_l in zip(sides, steps):
         sy = sx = side
+        if kind == "bilinear" and side != 2:
+            raise ValueError("kind='bilinear' requires every side to be 2")
         if cy % sy or cx % sx or (cy // sy) * (cx // sx) <= min_coarse:
             break
         d = level_A.diagonal()
@@ -165,13 +193,16 @@ def build_structured_hierarchy(
         else:
             absrow = jnp.sum(jnp.abs(dat), axis=0)
         lmax_l = jnp.max(absrow * jnp.abs(Dinv_l))
-        P = factored_sa(
-            level_A, BoxAgg2D(ny=cy, nx=cx, sy=sy, sx=sx),
-            omega=None if s_l > 1 else omega,
-            smooth_steps=s_l, lmax=lmax_l,
-        )
+        if kind == "bilinear":
+            P = BilinearP2D(ny=cy, nx=cx)
+        else:
+            P = factored_sa(
+                level_A, BoxAgg2D(ny=cy, nx=cx, sy=sy, sx=sx),
+                omega=None if s_l > 1 else omega,
+                smooth_steps=s_l, lmax=lmax_l,
+            )
         try:
-            A_next = dia_galerkin_probe(level_A, P)
+            A_next = probe(level_A, P)
         except ValueError:
             break  # coarse grid too narrow for the stencil reach — stop here
         Dinvs.append(Dinv_l)
