@@ -72,6 +72,23 @@ def slope(timed, lo: int, hi: int, tries: int = 4) -> float:
     return float(np.median(samples))
 
 
+
+_HULL600K = {}
+
+
+def hull600k():
+    """600k-dof random-hull FEM matrix, built once per bench process
+    (generation is ~4 min of host meshing/assembly; two benches use it)."""
+    if "A" not in _HULL600K:
+        import numpy as np
+        import scipy.sparse as sp
+        from mlamg_tpu.data import Grid
+
+        g = Grid.random_2d_unstructured(600_000, seed=7)
+        _HULL600K["A"] = sp.csr_matrix(g.A).astype(np.float32)
+    return _HULL600K["A"]
+
+
 def bench_unstructured(on_tpu: bool):
     """Windowed-gather ELL SpMV on a random-hull FEM matrix (Gnnz/s)."""
     import jax
@@ -82,8 +99,7 @@ def bench_unstructured(on_tpu: bool):
     from mlamg_tpu.data import Grid
     from mlamg_tpu.ops.unstructured import WindowedELL, well_spmv_pallas, rcm_spmv_setup
 
-    g = Grid.random_2d_unstructured(600_000, seed=7)
-    A = sp.csr_matrix(g.A).astype(np.float32)
+    A = hull600k()
     perm, W = rcm_spmv_setup(A)
     n = W.shape[0]
     x = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
@@ -271,8 +287,7 @@ def bench_unstructured_multilevel():
         build_unstructured_hierarchy, uvcycle, uvcycle_solve,
     )
 
-    g = Grid.random_2d_unstructured(600_000, seed=7)
-    A = sp.csr_matrix(g.A).astype(np.float32)
+    A = hull600k()
     n = A.shape[0]
     t0 = _time.time()
     h, perm = build_unstructured_hierarchy(

@@ -160,6 +160,40 @@ def rap_masked(
     return AH
 
 
+def rap_learned(A_dev: CSR, P_dev: CSR, A_sp, agg: np.ndarray, k: int) -> CSR:
+    """Galerkin A_H = P^T A P for a *learned* prolongator at scale.
+
+    ``P_dev`` is a P on A's coordinates with aggregate-mapped columns —
+    exactly what FullAggNet emits (P = P-hat * Agg keeps A's indptr and
+    maps columns through agg, models/agg_interp.py `_phat_times_agg`;
+    reference: P = spmm(P_hat, Agg), ns/model/agg_interp.py:484).  Its
+    pattern is therefore known host-side without touching the values, so
+    the triple product runs as two pattern-masked SpGEMMs (no device
+    sort) — the same trick the SA multilevel setup uses — instead of the
+    sort-based ``ops.matmul.rap_fused`` whose nnz*width^2 expand+sort is
+    ~3.4 Mnnz(A)/s at 65k dofs and unusable at production sizes.
+
+    ``A_sp``/``agg`` are the host-side pattern sources (scipy CSR and the
+    (n,) aggregate ids); duplicate (row, agg[col]) coordinates in P_dev
+    are summed by the masked contraction, matching scipy semantics.
+    """
+    import scipy.sparse as sp
+
+    A_sp = sp.csr_matrix(A_sp)
+    n = A_sp.shape[0]
+    _, APpat, AHpat = galerkin_patterns(A_sp, agg, k, smooth_steps=1)
+    a_width = int(np.diff(A_sp.indptr).max())
+    pt_width = int(np.bincount(agg[A_sp.tocoo().col], minlength=k).max())
+    ap_width = int(np.diff(APpat.indptr).max())
+    return rap_masked(
+        A_dev, P_dev,
+        CSR.from_scipy(APpat, dtype=jnp.float32),
+        CSR.from_scipy(AHpat, dtype=jnp.float32),
+        a_width=a_width, p_width=a_width,
+        pt_width=pt_width, ap_width=ap_width,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hierarchy containers
 # ---------------------------------------------------------------------------
@@ -331,13 +365,30 @@ def build_unstructured_hierarchy(
     block_rows: int = 8,
     verbose: bool = False,
     profile_out: dict | None = None,
+    rap_mode: str = "auto",
+    setup_device: str = "auto",
 ):
     """SA multilevel setup for a (symmetric) scipy operator at scale.
 
-    Per level: strength -> device Lloyd aggregation -> SA omega by power
-    iteration -> host boolean patterns -> device pattern-masked RAP.  Level
-    operators are stored RCM-ordered as WindowedELL on TPU (``fmt='well'``)
-    or CSR elsewhere; prolongators stay factored.
+    Per level: strength -> Lloyd aggregation -> SA omega by Gershgorin ->
+    Galerkin RAP.  Level operators are stored RCM-ordered as WindowedELL
+    on TPU (``fmt='well'``) or CSR elsewhere; prolongators stay factored.
+
+    ``rap_mode`` selects the Galerkin product: ``"device"`` runs the
+    pattern-masked SpGEMMs on the accelerator (host boolean patterns,
+    numeric contraction on device — the scalable path); ``"host"`` runs
+    the product in scipy.  ``"auto"`` uses the host below ~30M fine-level
+    nnz: at that size the numeric contraction is ~1 G-op (seconds either
+    way) while each distinct masked-SpGEMM program costs tens of seconds
+    of XLA compile per level on a network-attached device (measured 371 s
+    of a 462 s setup at 600k dofs — all compile, not compute).
+
+    ``setup_device`` likewise pins the strength/Lloyd phase: ``"cpu"``
+    runs it under a CPU ``jax.default_device`` (fast compile, ~1 s of
+    compute at 600k), ``"default"`` on the default backend; ``"auto"``
+    picks CPU when the default backend is a (remote) TPU and the level is
+    small enough that compile dominates.  The cycle itself always runs on
+    the default backend.
 
     Returns (hierarchy, perm) where ``perm`` is the fine-level RCM
     permutation: solve in permuted space, i.e. x = unpermute(solution of
@@ -392,29 +443,52 @@ def build_unstructured_hierarchy(
 
         t = _tick("rcm_reorder", t)
         a_width = int(np.diff(level_A.indptr).max())
-        A_dev = CSR.from_scipy(level_A, dtype=jnp.float32)
+        use_host_rap = rap_mode == "host" or (
+            rap_mode == "auto" and level_A.nnz < 30_000_000
+        )
+        use_cpu_setup = setup_device == "cpu" or (
+            setup_device == "auto"
+            and jax.default_backend() == "tpu"
+            and level_A.nnz < 30_000_000
+        )
+        setup_dev = (
+            jax.devices("cpu")[0] if use_cpu_setup else None
+        )
         d = np.asarray(level_A.diagonal())
         Dinv = jnp.asarray(1.0 / np.where(d != 0, d, 1.0), jnp.float32)
 
         if n <= min_coarse:
             break
         k = int(np.ceil(alpha * n))
-        C = strength_measure(A_dev, strength_kind, width=a_width)
-        key, sub = jax.random.split(key)
-        if seed_mode == "stride":
-            # the level is RCM-ordered, so an index stride is a spatially
-            # stratified seeding — measurably better-shaped aggregates (and
-            # cycles) than the reference's random permutation seeds
-            seeds = np.unique(np.linspace(0, n - 1, k).round().astype(np.int32))
-            k = int(seeds.shape[0])
-            agg_id, _, _ = lloyd_aggregation(
-                C, maxiter=lloyd_maxiter, seeds=seeds
-            )
+        from contextlib import nullcontext
+
+        with jax.default_device(setup_dev) if setup_dev else nullcontext():
+            A_setup = CSR.from_scipy(level_A, dtype=jnp.float32)
+            C = strength_measure(A_setup, strength_kind, width=a_width)
+            key, sub = jax.random.split(key)
+            if seed_mode == "stride":
+                # the level is RCM-ordered, so an index stride is a
+                # spatially stratified seeding — measurably better-shaped
+                # aggregates (and cycles) than the reference's random
+                # permutation seeds
+                seeds = np.unique(
+                    np.linspace(0, n - 1, k).round().astype(np.int32)
+                )
+                k = int(seeds.shape[0])
+                agg_id, _, _ = lloyd_aggregation(
+                    C, maxiter=lloyd_maxiter, seeds=seeds
+                )
+            else:
+                agg_id, _, _ = lloyd_aggregation(
+                    C, ratio=alpha, maxiter=lloyd_maxiter, key=sub
+                )
+            agg = np.asarray(agg_id).copy()  # device sync point
+        if use_host_rap:
+            A_dev = None  # no default-backend copy needed for a host RAP
+        elif use_cpu_setup:
+            A_dev = CSR.from_scipy(level_A, dtype=jnp.float32)
         else:
-            agg_id, _, _ = lloyd_aggregation(
-                C, ratio=alpha, maxiter=lloyd_maxiter, key=sub
-            )
-        agg = np.asarray(agg_id).copy()  # device sync point
+            A_dev = A_setup
         t = _tick("strength_lloyd", t)
         un = agg >= k
         if un.any():
@@ -456,103 +530,33 @@ def build_unstructured_hierarchy(
             ang = (2.0 * np.arange(1, smooth_steps + 1) - 1) / (2.0 * smooth_steps) * np.pi
             roots = (a_b + b_b) / 2.0 + (b_b - a_b) / 2.0 * jnp.asarray(np.cos(ang), jnp.float32)
             omegas = 1.0 / roots
-        P1 = smoothed_aggregation(
-            A_dev, jnp.asarray(agg, jnp.int32), k, omega=omegas[0]
-        )
-
-        t = _tick("sa_omegas", t)
-        Ppat, APpat, AHpat = galerkin_patterns(
-            level_A, agg, k, smooth_steps=smooth_steps
-        )
-        t = _tick("patterns_host", t)
-        if smooth_steps == 1:
-            P_dev = P1
-            p_width = a_width
-        else:
-            # widen P step by step: P_{j+1} = P_j - w_{j+1} D^-1 A P_j on
-            # the host-known pattern B^j @ P1pat; P_j's entries inject by a
-            # host-computed position map (P_j pattern is a subset)
+        if use_host_rap:
+            # host scipy prolongator + triple product: at <30M nnz the
+            # numeric work is seconds while the device path's per-level
+            # masked-SpGEMM programs cost tens of seconds of XLA compile
+            # each on a network-attached chip (see docstring)
             import scipy.sparse as _sp
 
-            coo0 = level_A.tocoo()
-            pat_j = _sp.csr_matrix(
-                (np.ones(level_A.nnz, np.float64), (coo0.row, agg[coo0.col])),
-                shape=(n, k),
+            t = _tick("sa_omegas", t)
+            T_host = _sp.csr_matrix(
+                (np.ones(n, np.float32), (np.arange(n), agg)), shape=(n, k)
             )
-            pat_j.sum_duplicates()
-            pat_j.data[:] = 1.0
-            pat_j.sort_indices()
-            Bpat = _sp.csr_matrix(
-                (np.ones(level_A.nnz, np.float64), level_A.indices,
-                 level_A.indptr), shape=(n, n),
-            )
-            P_dev = P1
-            # device P1 lives on A's (row, col->agg) coordinates
-            key1_dev = (coo0.row.astype(np.int64) * (k + 1)
-                        + agg[coo0.col].astype(np.int64))
-            for j in range(1, smooth_steps):
-                pat_next = (Bpat @ pat_j).tocsr()
-                pat_next.data[:] = 1.0
-                pat_next.sort_indices()
-                nxt_coo = pat_next.tocoo()
-                keys_next = (nxt_coo.row.astype(np.int64) * (k + 1)
-                             + nxt_coo.col.astype(np.int64))
-                pj_width = int(np.diff(pat_j.indptr).max()) if j > 1 else a_width
-                pat_next_dev = CSR.from_scipy(pat_next, dtype=jnp.float32)
-                APj = matmul.spgemm_masked(
-                    A_dev, P_dev, pat_next_dev,
-                    a_width=a_width, b_width=pj_width,
-                    chunk=_auto_chunk(a_width, pj_width),
-                )
-                rsafe = jnp.minimum(APj.row, n - 1)
-                base = jnp.where(
-                    APj.mask, -omegas[j] * Dinv[rsafe] * APj.data, 0.0
-                )
-                if j == 1:
-                    pos = np.searchsorted(keys_next, key1_dev)
-                else:
-                    cj = pat_j.tocoo()
-                    keys_j = (cj.row.astype(np.int64) * (k + 1)
-                              + cj.col.astype(np.int64))
-                    pos = np.searchsorted(keys_next, keys_j)
-                # P_dev may carry padded tail slots; route them to a dump
-                # index (mode="drop")
-                pos_full = np.full(P_dev.data.shape[0], base.shape[0], np.int64)
-                pos_full[: pos.shape[0]] = pos
-                data = base.at[jnp.asarray(pos_full)].add(
-                    P_dev.data, mode="drop"
-                )
-                P_dev = APj.with_data(data)
-                pat_j = pat_next
-            p_width = int(np.diff(pat_j.indptr).max())
-        jax.block_until_ready(P_dev.data)
-        t = _tick("p_smooth", t)
-
-        pt_width = int(
-            np.bincount(agg[level_A.tocoo().col], minlength=k).max()
-        ) if smooth_steps == 1 else int(
-            np.diff(Ppat.tocsc().indptr).max()
-        )
-        ap_width = int(np.diff(APpat.indptr).max())
-        if pt_width * ap_width <= 32768:
-            # device pattern-masked triple product (the large fine levels,
-            # where the numerics dominate setup)
-            AH = rap_masked(
-                A_dev, P_dev,
-                CSR.from_scipy(APpat, dtype=jnp.float32),
-                CSR.from_scipy(AHpat, dtype=jnp.float32),
-                a_width=a_width, p_width=p_width,
-                pt_width=pt_width, ap_width=ap_width,
-            )
-            AH_sp = AH.to_scipy().tocsr()
+            DinvA = (
+                _sp.diags((1.0 / np.where(d != 0, d, 1.0)).astype(np.float32))
+                @ level_A
+            ).tocsr()
+            Psp = T_host
+            for w in np.asarray(omegas, np.float64):
+                Psp = (Psp - np.float32(w) * (DinvA @ Psp)).tocsr()
+            t = _tick("p_smooth", t)
+            AH_sp = (Psp.T @ (level_A @ Psp)).tocsr()
+            pt_width = ap_width = -1
+            t = _tick("rap", t)
         else:
-            # deep coarse levels grow wide aggregate supports; the masked
-            # contraction's (chunk, pt, ap) expansion would exceed HBM, and
-            # at these sizes (nnz a few M) a host product is milliseconds
-            Psp = P_dev.to_scipy().tocsr()
-            Psp.sum_duplicates()
-            AH_sp = (Psp.T @ level_A @ Psp).tocsr()
-        t = _tick("rap", t)
+            AH_sp, pt_width, ap_width, t = _device_rap_level(
+                level_A, A_dev, agg, k, n, a_width, omegas, Dinv,
+                smooth_steps, _tick, t,
+            )
         AH_sp.sum_duplicates()
         AH_sp.eliminate_zeros()
         AH_sp = truncate_lump(AH_sp, trunc_theta)
@@ -567,7 +571,8 @@ def build_unstructured_hierarchy(
             print(
                 f"level {lvl}: n={n} nnz={level_A.nnz} -> k={k} "
                 f"nnz(A_H)={AH_sp.nnz} (widths a={a_width} pt={pt_width} "
-                f"ap={ap_width})",
+                f"ap={ap_width})"
+                + (" [host rap]" if use_host_rap else ""),
                 flush=True,
             )
         level_A = AH_sp
@@ -583,6 +588,113 @@ def build_unstructured_hierarchy(
         print(f"setup profile (s): {dict(sorted(prof.items(), key=lambda kv: -kv[1]))}",
               flush=True)
     return UHierarchy(tuple(levels), coarse), perm0
+
+
+def _device_rap_level(level_A, A_dev, agg, k, n, a_width, omegas, Dinv,
+                      smooth_steps, _tick, t):
+    """One level's device-side P build + pattern-masked Galerkin product
+    (the ``rap_mode='device'`` path of :func:`build_unstructured_hierarchy`).
+    Returns (AH_sp, pt_width, ap_width, t)."""
+    from mlamg_tpu.mg.interp import smoothed_aggregation
+
+    P1 = smoothed_aggregation(
+        A_dev, jnp.asarray(agg, jnp.int32), k, omega=omegas[0]
+    )
+
+    t = _tick("sa_omegas", t)
+    Ppat, APpat, AHpat = galerkin_patterns(
+        level_A, agg, k, smooth_steps=smooth_steps
+    )
+    t = _tick("patterns_host", t)
+    if smooth_steps == 1:
+        P_dev = P1
+        p_width = a_width
+    else:
+        # widen P step by step: P_{j+1} = P_j - w_{j+1} D^-1 A P_j on
+        # the host-known pattern B^j @ P1pat; P_j's entries inject by a
+        # host-computed position map (P_j pattern is a subset)
+        import scipy.sparse as _sp
+
+        coo0 = level_A.tocoo()
+        pat_j = _sp.csr_matrix(
+            (np.ones(level_A.nnz, np.float64), (coo0.row, agg[coo0.col])),
+            shape=(n, k),
+        )
+        pat_j.sum_duplicates()
+        pat_j.data[:] = 1.0
+        pat_j.sort_indices()
+        Bpat = _sp.csr_matrix(
+            (np.ones(level_A.nnz, np.float64), level_A.indices,
+             level_A.indptr), shape=(n, n),
+        )
+        P_dev = P1
+        # device P1 lives on A's (row, col->agg) coordinates
+        key1_dev = (coo0.row.astype(np.int64) * (k + 1)
+                    + agg[coo0.col].astype(np.int64))
+        for j in range(1, smooth_steps):
+            pat_next = (Bpat @ pat_j).tocsr()
+            pat_next.data[:] = 1.0
+            pat_next.sort_indices()
+            nxt_coo = pat_next.tocoo()
+            keys_next = (nxt_coo.row.astype(np.int64) * (k + 1)
+                         + nxt_coo.col.astype(np.int64))
+            pj_width = int(np.diff(pat_j.indptr).max()) if j > 1 else a_width
+            pat_next_dev = CSR.from_scipy(pat_next, dtype=jnp.float32)
+            APj = matmul.spgemm_masked(
+                A_dev, P_dev, pat_next_dev,
+                a_width=a_width, b_width=pj_width,
+                chunk=_auto_chunk(a_width, pj_width),
+            )
+            rsafe = jnp.minimum(APj.row, n - 1)
+            base = jnp.where(
+                APj.mask, -omegas[j] * Dinv[rsafe] * APj.data, 0.0
+            )
+            if j == 1:
+                pos = np.searchsorted(keys_next, key1_dev)
+            else:
+                cj = pat_j.tocoo()
+                keys_j = (cj.row.astype(np.int64) * (k + 1)
+                          + cj.col.astype(np.int64))
+                pos = np.searchsorted(keys_next, keys_j)
+            # P_dev may carry padded tail slots; route them to a dump
+            # index (mode="drop")
+            pos_full = np.full(P_dev.data.shape[0], base.shape[0], np.int64)
+            pos_full[: pos.shape[0]] = pos
+            data = base.at[jnp.asarray(pos_full)].add(
+                P_dev.data, mode="drop"
+            )
+            P_dev = APj.with_data(data)
+            pat_j = pat_next
+        p_width = int(np.diff(pat_j.indptr).max())
+    jax.block_until_ready(P_dev.data)
+    t = _tick("p_smooth", t)
+
+    pt_width = int(
+        np.bincount(agg[level_A.tocoo().col], minlength=k).max()
+    ) if smooth_steps == 1 else int(
+        np.diff(Ppat.tocsc().indptr).max()
+    )
+    ap_width = int(np.diff(APpat.indptr).max())
+    if pt_width * ap_width <= 32768:
+        # device pattern-masked triple product (the large fine levels,
+        # where the numerics dominate setup)
+        AH = rap_masked(
+            A_dev, P_dev,
+            CSR.from_scipy(APpat, dtype=jnp.float32),
+            CSR.from_scipy(AHpat, dtype=jnp.float32),
+            a_width=a_width, p_width=p_width,
+            pt_width=pt_width, ap_width=ap_width,
+        )
+        AH_sp = AH.to_scipy().tocsr()
+    else:
+        # deep coarse levels grow wide aggregate supports; the masked
+        # contraction's (chunk, pt, ap) expansion would exceed HBM, and
+        # at these sizes (nnz a few M) a host product is milliseconds
+        Psp = P_dev.to_scipy().tocsr()
+        Psp.sum_duplicates()
+        AH_sp = (Psp.T @ level_A @ Psp).tocsr()
+    t = _tick("rap", t)
+    return AH_sp, pt_width, ap_width, t
 
 
 def _level_operator(A_sp, fmt: str, block_rows: int):

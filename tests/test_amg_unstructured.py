@@ -186,3 +186,59 @@ class TestTwoStepSmoothedP:
             )
         )(h, b, x0)
         assert float(conv) < 0.45, float(conv)
+
+
+class TestRapModes:
+    def test_host_and_device_rap_build_equivalent_hierarchies(self, hull_grid):
+        # rap_mode="host" (scipy triple product) and rap_mode="device"
+        # (pattern-masked SpGEMMs) must produce the same coarse operators
+        # up to f32 product roundoff — same aggregation seed, same omegas.
+        from mlamg_tpu.mg.amg_unstructured import build_unstructured_hierarchy
+
+        kw = dict(alpha=0.1, max_levels=3, min_coarse=80, lloyd_maxiter=10,
+                  fmt="csr", seed=0)
+        h_host, perm_h = build_unstructured_hierarchy(
+            hull_grid, rap_mode="host", **kw
+        )
+        h_dev, perm_d = build_unstructured_hierarchy(
+            hull_grid, rap_mode="device", **kw
+        )
+        assert np.array_equal(perm_h, perm_d)
+        assert h_host.num_levels == h_dev.num_levels
+        for lh, ld in zip(h_host.levels, h_dev.levels):
+            assert lh.k == ld.k
+            np.testing.assert_array_equal(np.asarray(lh.agg), np.asarray(ld.agg))
+            Ah = lh.A.to_scipy() if hasattr(lh.A, "to_scipy") else lh.A
+            Ad = ld.A.to_scipy() if hasattr(ld.A, "to_scipy") else ld.A
+            diff = abs(Ah - Ad)
+            scale = abs(Ah).max()
+            assert diff.max() <= 1e-4 * scale, (diff.max(), scale)
+
+    def test_rap_learned_matches_scipy(self, hull_grid):
+        # a "learned" P: random P-hat values on A's coordinates with
+        # agg-mapped columns (the FullAggNet output shape) — the masked
+        # triple product must match the scipy oracle including the
+        # duplicate-coordinate summation
+        from mlamg_tpu.mg.amg_unstructured import rap_learned
+
+        A = hull_grid
+        n = A.shape[0]
+        rng = np.random.RandomState(5)
+        agg = rng.randint(0, n // 10, size=n).astype(np.int64)
+        k = int(agg.max()) + 1
+        coo = A.tocoo()
+        phat = rng.randn(A.nnz).astype(np.float32)
+        A_dev = CSR.from_scipy(A, dtype=jnp.float32)
+        pad = A_dev.data.shape[0] - A.nnz
+        data = jnp.asarray(np.concatenate([phat, np.zeros(pad, np.float32)]))
+        cols = jnp.asarray(
+            agg[np.asarray(A_dev.col)].astype(np.asarray(A_dev.col).dtype)
+        )
+        P_dev = CSR(data, A_dev.row, cols, A_dev.indptr, (n, k), A_dev.nnz)
+        # oracle: scipy with duplicates summed
+        P_sp = sp.csr_matrix((phat, (coo.row, agg[coo.col])), shape=(n, k))
+        P_sp.sum_duplicates()
+        oracle = (P_sp.T @ (A.astype(np.float64) @ P_sp)).toarray()
+        AH = rap_learned(A_dev, P_dev, A, agg, k)
+        got = AH.to_scipy().toarray()
+        np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=2e-4)
