@@ -102,19 +102,20 @@ def ici_projection(cycle_ms_1shard: float, nx: int, k: int,
     )
 
 
-def production_ici_projection(cycle_ms_1chip: float = 10.358, nx: int = 4096,
-                              levels: int = 3, k_coarse: int = 4096,
-                              nu: int = 2, box_side: int = 8,
+def production_ici_projection(cycle_ms_1chip: float = 12.231, nx: int = 4096,
+                              levels: int = 7, k_coarse: int = 1024,
+                              nu: int = 2, box_side: int = 2,
                               ici_gbps: float = 45.0,
                               hop_latency_us: float = 1.0):
     """Weak-scaling projection for the PRODUCTION structured V-cycle
     (bench.py vcycle_16m: n = nx^2 per chip, measured ms on the real chip;
-    defaults mirror the published convergent sides=(8,8), nu=2 hierarchy —
-    BENCH_r04 10.358 ms/cycle, coarsest 64^2 = 4096).
+    defaults mirror the published convergent side-2 bilinear hierarchy —
+    BENCH_r05 12.231 ms/cycle at conv 0.139, 7 levels, coarsest 32^2).
 
-    Row-partitioned slabs: per level each pre/post smooth, residual and
-    factored interp/restrict exchanges one halo row of the level's width
-    with each ring neighbour (2*(2*nu+3) slices of nx_l * 4 bytes), and the
+    Row-partitioned slabs: per level each pre/post Chebyshev smooth
+    (deg nu+1 -> nu+1 SpMVs each), the residual and the bilinear
+    interp/restrict each exchange one halo row of the level's width with
+    each ring neighbour (2*(2*(nu+1)+3) slices of nx_l * 4 bytes), and the
     replicated coarsest solve costs one ring all-gather of the (k_coarse,)
     residual.  No compute/comm overlap assumed (conservative).
     """
@@ -122,9 +123,9 @@ def production_ici_projection(cycle_ms_1chip: float = 10.358, nx: int = 4096,
     msgs = 0
     w = nx
     for _ in range(levels):
-        halo_bytes += 2 * (2 * nu + 3) * w * 4
-        msgs += 2 * (2 * nu + 3)
-        w //= box_side  # per-level aggregate box side of the hierarchy
+        halo_bytes += 2 * (2 * (nu + 1) + 3) * w * 4
+        msgs += 2 * (2 * (nu + 1) + 3)
+        w //= box_side  # per-level coarsening side of the hierarchy
     rows = []
     for S in (2, 4, 8, 16):
         gather_bytes = (S - 1) / S * k_coarse * 4
@@ -179,7 +180,7 @@ def main(argv=None):
                    help="measured 1-chip ms/V-cycle for the production "
                         "projection (default: read vcycle_16m_ms from "
                         "--bench-json, else the last published value)")
-    p.add_argument("--bench-json", type=str, default="BENCH_r04.json",
+    p.add_argument("--bench-json", type=str, default="BENCH_r05.json",
                    help="bench artifact to pull the measured cycle time from")
     args = p.parse_args(argv)
 
