@@ -271,12 +271,13 @@ def bench_unstructured_multilevel():
     problem family at production scale, ns/lib/multigrid.py:111-210 on
     ns/model/data.py:416-433 grids).
 
-    Setup: pattern-masked Galerkin RAP (mg/amg_unstructured.py) — the
-    coarse patterns are host boolean products, the numerics two masked
-    SpGEMMs on device (replaces the sort-based rap_fused, which could not
-    build hierarchies past ~100k dofs).  Cycle: W(gamma=2), deg-4
-    Chebyshev smoothing, factored prolongator — all levels SpMV-class
-    streaming through WindowedELL operators."""
+    Setup: rap_mode="auto" Galerkin products (host scipy at this size —
+    the device masked-SpGEMM path exists for true scale but pays tens of
+    seconds of XLA compile per level through the network-attached chip)
+    with the strength/Lloyd phase on a CPU jit; ~24 s total, was 497 s in
+    round 4.  Cycle: W(gamma=2), deg-5 Chebyshev smoothing, factored
+    prolongator — all levels SpMV-class streaming through WindowedELL
+    operators."""
     import time as _time
     import jax
     import jax.numpy as jnp
@@ -301,7 +302,7 @@ def bench_unstructured_multilevel():
     # convergence first: geometric mean factor over a real solve
     x, conv, err, iters = jax.jit(
         lambda h, b, x: uvcycle_solve(
-            h, b, x, res_tol=1e-6, max_iter=40, nu=3, lmin_frac=1 / 15,
+            h, b, x, res_tol=1e-6, max_iter=40, nu=4, lmin_frac=1 / 15,
             gamma=2,
         )
     )(h, b, x0)
@@ -312,7 +313,7 @@ def bench_unstructured_multilevel():
     @partial(jax.jit, static_argnames=("iters",))
     def run(h, b, x0, iters):
         def body(i, x):
-            return uvcycle(h, b, x, nu=3, lmin_frac=1 / 15, gamma=2)
+            return uvcycle(h, b, x, nu=4, lmin_frac=1 / 15, gamma=2)
 
         return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
 
@@ -333,7 +334,7 @@ def bench_unstructured_multilevel():
         "conv_factor": round(conv, 4),
         "iters_to_1e6": int(iters),
         "setup_s": round(setup_s, 1),
-        "scheme": "pattern-masked RAP setup, factored-P W(3,3) Chebyshev",
+        "scheme": "auto host/device Galerkin setup, factored-P W(4,4) Chebyshev",
     }
 
 

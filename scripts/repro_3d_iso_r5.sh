@@ -11,11 +11,13 @@ if [ ! -d "$DATA/train" ]; then
   python -m mlamg_tpu.cli.create_data "$DATA" --n-grids 40 --type 3d \
     --split 0.25 --seed 21
 fi
+if [ ! -f runs_3d_iso_r5/pretrain.ckpt ]; then
 python -m mlamg_tpu.cli.pretrain_dataset "$DATA" --epochs 60 \
   --platform cpu --out runs_3d_iso_r5/pretrain.ckpt
+fi
 python -m mlamg_tpu.cli.train_gradient "$DATA" --steps 400 \
   $PLAT_FLAG --bucket-step 512 --grid-chunk 8 \
-  --eval-every 20 --checkpoint-every 40 \
+  --eval-every 20 --checkpoint-every 40 --tau-final 0.015 \
   --start-model runs_3d_iso_r5/pretrain.ckpt --out runs_3d_iso_r5
 for split in train test; do
   python -m mlamg_tpu.cli.evaluate_dataset "$DATA/$split" \

@@ -12,8 +12,10 @@ if [ ! -d "$DATA/train" ]; then
   python -m mlamg_tpu.cli.create_data "$DATA" --n-grids 50 --type anisotropic \
     --dof-min 64 --dof-max 250 --split 0.2 --seed 11
 fi
+if [ ! -f runs_aniso_r5/pretrain.ckpt ]; then
 python -m mlamg_tpu.cli.pretrain_dataset "$DATA" --epochs 60 \
   --platform cpu --rel-strength true --out runs_aniso_r5/pretrain.ckpt
+fi
 python -m mlamg_tpu.cli.train_gradient "$DATA" --steps 400 \
   $PLAT_FLAG --bucket-step 128 --eval-every 20 --checkpoint-every 40 \
   --rel-strength true --tau-final 0.02 \

@@ -10,11 +10,13 @@ if [ ! -d "$DATA/train" ]; then
   python -m mlamg_tpu.cli.create_data "$DATA" --n-grids 50 --type isotropic \
     --dof-min 64 --dof-max 250 --split 0.2 --seed 7
 fi
+if [ ! -f $OUT/pretrain.ckpt ]; then
 python -m mlamg_tpu.cli.pretrain_dataset "$DATA" --epochs 60 \
   --platform cpu --rel-strength true --out "$OUT/pretrain.ckpt"
+fi
 python -m mlamg_tpu.cli.train_gradient "$DATA" --steps 600 \
   --platform cpu --bucket-step 128 --eval-every 20 --checkpoint-every 40 \
-  --rel-strength true --weight-noise 0.01 \
+  --rel-strength true --weight-noise 0.01 --tau-final 0.015 \
   --start-model "$OUT/pretrain.ckpt" --out "$OUT"
 for split in train test; do
   python -m mlamg_tpu.cli.evaluate_dataset "$DATA/$split" \
