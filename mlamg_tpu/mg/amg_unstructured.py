@@ -397,7 +397,6 @@ def build_unstructured_hierarchy(
     import scipy.sparse as sp
     from mlamg_tpu.graph.lloyd import lloyd_aggregation
     from mlamg_tpu.graph.strength import strength_measure
-    from mlamg_tpu.mg.interp import smoothed_aggregation
     from mlamg_tpu import native
 
     if fmt is None:
